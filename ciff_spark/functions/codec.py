@@ -1,0 +1,179 @@
+"""Posting-list block codec: delta-gap + varint, with block-max metadata.
+
+Generalizes the reference's whole-list delta-gap encoding (the PISA→CIFF
+writer emits ``docid - last_doc`` per posting, /root/reference/src/lib.rs:664-672,
+and the reader reconstructs absolutes with a running prefix sum,
+/root/reference/src/lib.rs:252-259) to fixed-size, independently decodable
+blocks, per the Block-Max WAND design (Ding & Suel, SIGIR 2011) that the
+north-rule mandates:
+
+- postings (sorted by docid ascending, docids unique within a list) are split
+  into blocks of ``BLOCK_SIZE``;
+- block ``i`` stores docid gaps where the first gap is relative to block
+  ``i-1``'s ``max_docid`` (−1 before the first block), so a block can be
+  decoded knowing only the per-block metadata — enabling block skipping;
+- per block we keep ``max_docid`` (skip pointer), ``max_tf``, and
+  ``max_tfnorm`` (the exact per-block BM25 tf-normalization upper bound,
+  computed from true doc lengths at build time) for WAND pruning;
+- all integers are LEB128 varints, encoded/decoded with vectorized NumPy —
+  no per-value Python in the hot path.
+
+Everything here is pure NumPy over host memory; Spark invokes it inside
+Arrow-vectorized UDFs (``applyInPandas`` / ``mapInArrow``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ciff_spark.functions.scoring import tfnorm_np, tfnorm_upper_bound
+
+BLOCK_SIZE = 128
+
+#: Spark SQL type of one encoded block (postings tables store array<BLOCK_TYPE>).
+BLOCK_SCHEMA = (
+    "struct<count:int,max_docid:bigint,max_tf:int,max_tfnorm:double,"
+    "docs_bin:binary,tfs_bin:binary>"
+)
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128) — vectorized
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode non-negative ints to LEB128. Returns (uint8 buffer, per-value
+    byte lengths). Vectorized: the only Python loop is over byte *positions*
+    (≤ 10 iterations), never over values."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    nbytes = np.ones(n, np.int64)
+    for shift in range(7, 64, 7):
+        nbytes += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.empty(starts[-1], np.uint8)
+    active = np.arange(n)
+    shifted = v.copy()
+    k = 0
+    while active.size:
+        cur = shifted[active]
+        more = (k + 1) < nbytes[active]
+        out[starts[active] + k] = (cur & np.uint64(0x7F)).astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+        shifted[active] = cur >> np.uint64(7)
+        active = active[more]
+        k += 1
+    return out, nbytes
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 byte buffer to uint64 values (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, np.uint8)
+    if b.size == 0:
+        return np.empty(0, np.uint64)
+    is_last = (b & 0x80) == 0
+    n = int(is_last.sum())
+    if count is not None and count != n:
+        raise ValueError(f"varint stream holds {n} values, expected {count}")
+    val_idx = np.zeros(b.size, np.int64)
+    val_idx[1:] = np.cumsum(is_last)[:-1]
+    starts = np.zeros(n, np.int64)
+    last_pos = np.flatnonzero(is_last)
+    starts[1:] = last_pos[:-1] + 1
+    k = (np.arange(b.size) - starts[val_idx]).astype(np.uint64)
+    vals = np.zeros(n, np.uint64)
+    np.add.at(vals, val_idx, (b & np.uint64(0x7F)).astype(np.uint64) << (np.uint64(7) * k))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# block encode / decode
+# ---------------------------------------------------------------------------
+
+def encode_postings(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray | None = None,
+    avgdl: float | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Encode one posting list (docids strictly ascending, tfs > 0) into blocks.
+
+    ``doclens``/``avgdl`` (when supplied) make ``max_tfnorm`` the *exact*
+    per-block BM25 tf-bound; otherwise it falls back to the dl-free upper
+    bound — still a true bound, just looser for pruning.
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = docids.size
+    if n == 0:
+        return []
+    if n > 1 and not (np.diff(docids) > 0).all():
+        raise ValueError("docids must be strictly ascending within a posting list")
+    if (tfs <= 0).any():
+        raise ValueError("tfs must be positive")
+
+    # gaps: first value of each block is relative to the previous block's max
+    gaps = np.empty(n, np.int64)
+    gaps[0] = docids[0] + 1  # relative to virtual prev_max = -1
+    gaps[1:] = np.diff(docids)
+    block_starts = np.arange(0, n, block_size)
+    gaps[block_starts[1:]] = docids[block_starts[1:]] - docids[block_starts[1:] - 1]
+
+    doc_buf, doc_lens = varint_encode(gaps.astype(np.uint64))
+    tf_buf, tf_lens = varint_encode(tfs.astype(np.uint64))
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+
+    if doclens is not None and avgdl is not None:
+        tfnorms = tfnorm_np(tfs, doclens, float(avgdl))
+    else:
+        tfnorms = None
+
+    blocks = []
+    for s in block_starts:
+        e = min(s + block_size, n)
+        if tfnorms is not None:
+            max_tfnorm = float(tfnorms[s:e].max())
+        else:
+            max_tfnorm = tfnorm_upper_bound(float(tfs[s:e].max()))
+        blocks.append(
+            {
+                "count": int(e - s),
+                "max_docid": int(docids[e - 1]),
+                "max_tf": int(tfs[s:e].max()),
+                "max_tfnorm": max_tfnorm,
+                "docs_bin": doc_buf[doc_off[s] : doc_off[e]].tobytes(),
+                "tfs_bin": tf_buf[tf_off[s] : tf_off[e]].tobytes(),
+            }
+        )
+    return blocks
+
+
+def decode_block(
+    docs_bin: bytes, tfs_bin: bytes, count: int, prev_max_docid: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block given the previous block's max_docid (−1 for first)."""
+    gaps = varint_decode(docs_bin, count).astype(np.int64)
+    docids = gaps.cumsum() + prev_max_docid
+    tfs = varint_decode(tfs_bin, count).astype(np.int64)
+    return docids, tfs
+
+
+def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list from its blocks."""
+    if not blocks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_parts, tf_parts = [], []
+    prev_max = -1
+    for blk in blocks:
+        d, t = decode_block(
+            blk["docs_bin"], blk["tfs_bin"], blk["count"], prev_max
+        )
+        doc_parts.append(d)
+        tf_parts.append(t)
+        prev_max = int(blk["max_docid"])
+    return np.concatenate(doc_parts), np.concatenate(tf_parts)

@@ -1,0 +1,106 @@
+"""Codec unit + property tests.
+
+Mirrors the reference's test layers (SURVEY §5): round-trip/metamorphic tests
+on the gap codec (the reference round-trips CIFF→PISA→CIFF,
+/root/reference/tests/toy.rs:89-143) and quickcheck-style property tests
+(/root/reference/src/binary_collection.rs:427-437) via hypothesis.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ciff_spark.functions.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+from ciff_spark.functions.scoring import idf_np, tfnorm_np
+
+
+def _roundtrip(vals):
+    buf, lens = varint_encode(np.asarray(vals, np.uint64))
+    assert int(lens.sum()) == buf.size
+    out = varint_decode(buf.tobytes(), len(vals))
+    np.testing.assert_array_equal(out.astype(np.uint64), np.asarray(vals, np.uint64))
+
+
+def test_varint_known_bytes():
+    buf, lens = varint_encode(np.array([0, 1, 127, 128, 300, 2**32], np.uint64))
+    assert list(lens) == [1, 1, 1, 2, 2, 5]
+    assert buf[:5].tobytes() == bytes([0x00, 0x01, 0x7F, 0x80, 0x01])
+    assert buf[5:7].tobytes() == bytes([0xAC, 0x02])  # 300 = LEB128 ac 02
+
+
+def test_varint_roundtrip_edges():
+    _roundtrip([])
+    _roundtrip([0])
+    _roundtrip([2**63 - 1, 0, 1, 2**32 - 1, 127, 128, 16383, 16384])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+def test_varint_roundtrip_property(vals):
+    _roundtrip(vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10_000_000), st.integers(1, 1000)),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_block_roundtrip_property(pairs):
+    # build strictly ascending docids from positive gaps
+    gaps = np.array([p[0] for p in pairs], np.int64)
+    docids = np.cumsum(gaps) - 1
+    tfs = np.array([p[1] for p in pairs], np.int64)
+    blocks = encode_postings(docids, tfs, block_size=7)  # tiny blocks → many
+    d, t = decode_postings(blocks)
+    np.testing.assert_array_equal(d, docids)
+    np.testing.assert_array_equal(t, tfs)
+    # per-block invariants: max_docid is a true skip pointer, counts sum up
+    assert sum(b["count"] for b in blocks) == len(docids)
+    prev = -1
+    for b in blocks:
+        bd, bt = decode_block(b["docs_bin"], b["tfs_bin"], b["count"], prev)
+        assert bd[-1] == b["max_docid"]
+        assert bt.max() == b["max_tf"]
+        assert (bd > prev).all()
+        prev = b["max_docid"]
+
+
+def test_block_max_tfnorm_is_true_upper_bound():
+    rng = np.random.default_rng(42)
+    n = 1000
+    docids = np.cumsum(rng.integers(1, 50, n))
+    tfs = rng.integers(1, 30, n)
+    doclens = rng.integers(5, 400, n)
+    avgdl = 87.3
+    blocks = encode_postings(docids, tfs, doclens=doclens, avgdl=avgdl)
+    assert len(blocks) == int(np.ceil(n / BLOCK_SIZE))
+    tfn = tfnorm_np(tfs, doclens, avgdl)
+    for i, b in enumerate(blocks):
+        s, e = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        assert b["max_tfnorm"] >= tfn[s:e].max() - 1e-12
+        assert b["max_tfnorm"] == pytest.approx(tfn[s:e].max())
+
+
+def test_encode_rejects_bad_input():
+    with pytest.raises(ValueError):
+        encode_postings(np.array([3, 3]), np.array([1, 1]))
+    with pytest.raises(ValueError):
+        encode_postings(np.array([1, 2]), np.array([1, 0]))
+    assert encode_postings(np.array([], np.int64), np.array([], np.int64)) == []
+
+
+def test_idf_matches_reference_formula():
+    # idf = ln((N - df + 0.5)/(df + 0.5)) — negative for df > N/2 is kept
+    assert idf_np(1, 3) == pytest.approx(np.log(2.5 / 1.5))
+    assert idf_np(3, 3) < 0
