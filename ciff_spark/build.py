@@ -1,0 +1,297 @@
+"""The distributed index build pipeline.
+
+Replaces the reference's fully memory-resident jsonl2ciff build (two process-
+wide HashMaps hold the whole index, /root/reference/src/lib.rs:996,1001 — its
+scalability wall) with a declarative Spark pipeline:
+
+  transcripts ─ add_dense_docid ─ tokenize (JVM regex / Arrow UDF)
+    ├─ docs table: doclength = Σtf per doc (token count)
+    └─ explode → groupBy(term, docid) hash-agg tf (map-side partial agg)
+         → shard = docid // shard_size  (structural skew handling: a Zipf-hot
+           term's postings land in MANY (term, shard) groups, never one reducer)
+         → groupBy(term, shard) applyInPandas block-encode (Arrow-vectorized)
+         → postings table, partitioned by pgroup = hash(term) % n_pgroups
+  docs → shard_sizes (u32 doclength arrays per shard)
+  postings(df, cf columns only — blocks pruned at scan) → term_stats
+  → meta (≙ CIFF Header)
+
+Checkpoint/resume: postings are written in pgroup *batches*; each completed
+batch appends a manifest row to ``_lineage``. A resumed build deletes the
+parquet subdirs of unfinished pgroups (idempotence) and recomputes only those
+— the distributed analog of the reference's restartable deterministic file
+pipeline. Stage outputs are otherwise atomic (temp-dir + rename ≙ Iceberg
+snapshot commit).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_postings
+from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
+from ciff_spark.plans.rank import add_dense_docid
+from ciff_spark.store import META_SCHEMA, IndexStore
+
+
+@dataclass
+class BuildConfig:
+    n_shards: int = 8           # docid-range shards (≙ salted hot-term split)
+    shard_size: int | None = None  # override: docids per shard
+    block_size: int = BLOCK_SIZE
+    n_pgroups: int = 32         # term-hash output partitions (resume granularity)
+    pgroup_batches: int = 1     # checkpoint batches (1 = single job, fastest)
+    tokenizer: str = "builtin"  # "builtin" (JVM regex) | "pandas" (Arrow UDF)
+    rank_partitions: int | None = None
+    fail_after_batches: int | None = None  # test hook: simulate a crash mid-build
+
+
+POSTINGS_SCHEMA = (
+    f"term string, shard int, df bigint, cf bigint, blocks array<{BLOCK_SCHEMA}>"
+)
+SHARD_SIZES_SCHEMA = "shard int, start_docid bigint, count int, dl_bin binary"
+
+
+def _tokens_col(cfg: BuildConfig):
+    if cfg.tokenizer == "pandas":
+        return tokenize_pandas_udf(F.col("text_in"))
+    return tokenize_expr("text_in")
+
+
+def build_index(
+    df: DataFrame,
+    out_root: str,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    docid_col: str | None = None,
+    config: BuildConfig | None = None,
+    resume: bool = True,
+    description: str = "ciff_spark index",
+) -> IndexStore:
+    """Build (or resume building) an index from ``df`` into ``out_root``.
+
+    ``docid_col``: pass a column that already holds dense 0..N-1 ids (e.g. the
+    testdata ``documents.doc_id``) to skip rank assignment; validated.
+    """
+    cfg = config or BuildConfig()
+    spark = df.sparkSession
+    store = IndexStore(out_root)
+    if not resume:
+        store.drop()
+
+    # ---- docid assignment (deterministic; cheap to redo on resume) ---------
+    base = df.withColumnRenamed(text_col, "text_in")
+    if docid_col is not None:
+        ranked = base.withColumn("docid", F.col(docid_col).cast("long"))
+        chk = ranked.agg(
+            F.count("*").alias("n"),
+            F.min("docid").alias("lo"),
+            F.max("docid").alias("hi"),
+            F.count_distinct("docid").alias("nd"),
+        ).first()
+        if chk["n"] and not (chk["lo"] == 0 and chk["hi"] == chk["n"] - 1 and chk["nd"] == chk["n"]):
+            raise ValueError(f"docid_col {docid_col!r} is not dense 0..N-1: {chk}")
+        persisted = None
+    else:
+        ranked = add_dense_docid(base, list(id_cols), cfg.rank_partitions)
+        persisted = ranked
+
+    toks = ranked.select(
+        "docid",
+        *[c for c in id_cols if docid_col is None or c in ranked.columns],
+        _tokens_col(cfg).alias("tokens"),
+    )
+
+    # ---- stage: docs (≙ DocRecords, doclength = Σtf = token count) ---------
+    if not store.exists("docs"):
+        docs = toks.select(
+            "docid",
+            *[c for c in id_cols if c in toks.columns],
+            F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength"),
+        )
+        t0 = time.time()
+        store.write("docs", docs)
+        _lineage(store, spark, "docs", -1, rows=None, wall_ms=int((time.time() - t0) * 1000))
+
+    docs = store.read(spark, "docs")
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum("doclength").alias("tt")
+    ).first()
+    num_docs = int(stats["n"])
+    total_terms = int(stats["tt"] or 0)
+    avgdl = total_terms / num_docs if num_docs else 0.0
+    shard_size = cfg.shard_size or max(1, -(-num_docs // cfg.n_shards))
+
+    # ---- stage: postings (pgroup-batched, resumable) ------------------------
+    done = _done_pgroups(store, spark)
+    todo = [g for g in range(cfg.n_pgroups) if g not in done]
+    if todo:
+        _clean_partial_pgroups(store, todo)
+        tf = (
+            toks.select(
+                "docid",
+                F.coalesce(F.size("tokens"), F.lit(0)).alias("dl"),
+                F.explode("tokens").alias("term"),
+            )
+            .groupBy("term", "docid")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+            .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
+        )
+        block_size = cfg.block_size
+        avgdl_c = avgdl
+
+        def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            term, shard, pgroup = key
+            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+            docids = pdf["docid"].to_numpy()[order]
+            tfs = pdf["tf"].to_numpy()[order]
+            dls = pdf["dl"].to_numpy()[order]
+            blocks = encode_postings(
+                docids, tfs, doclens=dls, avgdl=avgdl_c, block_size=block_size
+            )
+            return pd.DataFrame(
+                [
+                    {
+                        "term": term,
+                        "shard": int(shard),
+                        "df": int(len(docids)),
+                        "cf": int(tfs.sum()),
+                        "blocks": blocks,
+                        "pgroup": int(pgroup),
+                    }
+                ]
+            )
+
+        n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
+        batches = np.array_split(np.array(todo), n_batches)
+        for bi, batch in enumerate(batches):
+            if cfg.fail_after_batches is not None and bi >= cfg.fail_after_batches:
+                raise RuntimeError("injected failure (BuildConfig.fail_after_batches)")
+            batch = [int(g) for g in batch]
+            t0 = time.time()
+            part = (
+                tf.where(F.col("pgroup").isin(batch))
+                .groupBy("term", "shard", "pgroup")
+                .applyInPandas(encode_group, schema=POSTINGS_SCHEMA + ", pgroup int")
+            )
+            part.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
+            wall = int((time.time() - t0) * 1000)
+            # manifest AFTER the data commit → crash between the two re-runs
+            # the batch; the cleanup above makes that idempotent
+            m = (
+                spark.read.parquet(store.path("postings"))
+                .where(F.col("pgroup").isin(batch))
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum("df").alias("postings"),
+                    F.sum(
+                        F.aggregate(
+                            "blocks",
+                            F.lit(0).cast("long"),
+                            lambda acc, b: acc
+                            + F.length(b["docs_bin"])
+                            + F.length(b["tfs_bin"]),
+                        )
+                    ).alias("bytes"),
+                )
+                .first()
+            )
+            for g in batch:
+                _lineage(
+                    store, spark, "postings", g,
+                    rows=int(m["rows"] or 0), postings=int(m["postings"] or 0),
+                    bytes_=int(m["bytes"] or 0), wall_ms=wall,
+                )
+
+    # ---- stage: shard_sizes (≙ PISA .sizes, one u32 array per shard) -------
+    if not store.exists("shard_sizes"):
+        ssz = shard_size
+
+        def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (shard,) = key
+            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+            dids = pdf["docid"].to_numpy()[order]
+            dls = pdf["doclength"].to_numpy()[order].astype("<u4")
+            start = int(shard) * ssz
+            if not (dids == np.arange(start, start + len(dids))).all():
+                raise ValueError(f"shard {shard}: docids not dense from {start}")
+            return pd.DataFrame(
+                [{"shard": int(shard), "start_docid": start,
+                  "count": len(dids), "dl_bin": dls.tobytes()}]
+            )
+
+        t0 = time.time()
+        packed = (
+            docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+            .select("shard", "docid", "doclength")
+            .groupBy("shard")
+            .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
+        )
+        store.write("shard_sizes", packed)
+        _lineage(store, spark, "shard_sizes", -1, wall_ms=int((time.time() - t0) * 1000))
+
+    # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
+    if not store.exists("term_stats"):
+        t0 = time.time()
+        ts = (
+            store.read(spark, "postings")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        store.write("term_stats", ts)
+        _lineage(store, spark, "term_stats", -1, wall_ms=int((time.time() - t0) * 1000))
+
+    # ---- stage: meta (≙ CIFF Header) ----------------------------------------
+    if not store.exists("meta"):
+        num_terms = store.read(spark, "term_stats").count()
+        meta = spark.createDataFrame(
+            [(num_docs, num_terms, total_terms, avgdl, shard_size, cfg.block_size, description)],
+            META_SCHEMA,
+        )
+        store.write("meta", meta)
+
+    if persisted is not None:
+        persisted.unpersist()
+    return store
+
+
+def _lineage(store, spark, stage, partition_id, rows=None, postings=None,
+             bytes_=None, wall_ms=None):
+    row = [(stage, int(partition_id), rows, postings, bytes_, wall_ms, "done")]
+    df = spark.createDataFrame(
+        row,
+        "stage string, partition_id int, rows bigint, postings bigint, "
+        "bytes bigint, wall_ms bigint, status string",
+    )
+    df.write.mode("append").parquet(store.path("_lineage"))
+
+
+def _done_pgroups(store: IndexStore, spark) -> set[int]:
+    import os
+
+    if not os.path.isdir(store.path("_lineage")):
+        return set()
+    rows = (
+        store.read(spark, "_lineage")
+        .where((F.col("stage") == "postings") & (F.col("status") == "done"))
+        .select("partition_id")
+        .collect()
+    )
+    return {int(r["partition_id"]) for r in rows}
+
+
+def _clean_partial_pgroups(store: IndexStore, todo: list[int]) -> None:
+    """Delete parquet subdirs of unfinished pgroups so re-append is idempotent."""
+    import shutil
+    import os
+
+    for g in todo:
+        p = f"{store.path('postings')}/pgroup={g}"
+        if os.path.isdir(p):
+            shutil.rmtree(p)

@@ -1,0 +1,284 @@
+"""Query side: BM25 top-k over a built index (exact and Block-Max WAND), and
+the index-free relational BM25 used for SQL-oracle parity.
+
+Three implementations of the same pinned semantics:
+
+- ``bm25_topk_relational``: pure DataFrame ops straight off a corpus table
+  (tokenize → tf → doc/term stats → joins → score → top-k). 100% built-in
+  expressions — Catalyst/AQE plan it, no Python in the loop. This is also the
+  definition the DuckDB driver-oracle SQL mirrors fragment-by-fragment.
+- ``IndexReader.topk(mode="exact")``: decode the term-pruned posting blocks
+  (Parquet predicate pushdown on ``term``), attach doclengths per docid-shard
+  via cogroup with ``shard_sizes`` (never joining the wide docs table),
+  score vectorized, hash-agg per (qid, docid), per-qid window top-k.
+- ``IndexReader.topk(mode="wand")``: per (shard) Arrow group runs the
+  interval block-max kernel (ciff_spark.wand) — decodes only blocks whose
+  upper bound can still beat the running top-k threshold.
+
+All paths break ties by ascending docid and (for driver-facing outputs)
+round scores to ``SCORE_DECIMALS``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ciff_spark.functions.codec import varint_decode
+from ciff_spark.functions.scoring import (
+    SCORE_DECIMALS,
+    idf_col,
+    idf_np,
+    idf_sql,
+    tfnorm_col,
+    tfnorm_np,
+    tfnorm_sql,
+)
+from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_py, tokenize_sql
+from ciff_spark.store import IndexStore
+from ciff_spark.wand import wand_topk
+
+
+# ---------------------------------------------------------------------------
+# Relational (index-free) BM25 — built-ins only
+# ---------------------------------------------------------------------------
+
+def bm25_topk_relational(
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    docid_col: str = "docid",
+    text_col: str = "text",
+    round_scores: bool = True,
+) -> DataFrame:
+    """Exact BM25 top-k via pure DataFrame algebra (no index, no UDF).
+
+    Single-scan friendly: tokens are exploded once; doc stats and term stats
+    are two small aggregations Catalyst executes with partial aggregation;
+    the query-term filter prunes the exploded stream immediately.
+    """
+    qterms = sorted(set(tokenize_py(query)))
+    if not qterms:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], f"{docid_col} bigint, score double")
+
+    toks = corpus.select(
+        F.col(docid_col).cast("long").alias("docid"),
+        F.explode(tokenize_expr(text_col)).alias("term"),
+    )
+    dl = toks.groupBy("docid").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    tf = (
+        toks.where(F.col("term").isin(qterms))
+        .groupBy("term", "docid")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "docid")
+        .withColumn(
+            "contrib",
+            idf_col(F.col("df"), n_docs) * tfnorm_col(F.col("tf"), F.col("dl"), avgdl),
+        )
+        .groupBy("docid")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    if round_scores:
+        out = out.select("docid", F.round("score", SCORE_DECIMALS).alias("score"))
+    return out.withColumnRenamed("docid", docid_col) if docid_col != "docid" else out
+
+
+def bm25_topk_sql(
+    query: str,
+    k: int = 10,
+    table: str = "documents",
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle SQL equivalent of ``bm25_topk_relational`` — generated
+    from the same pinned fragments (tokenizer + scoring), so the two cannot
+    drift apart."""
+    qterms = sorted(set(tokenize_py(query)))
+    terms_in = ", ".join(f"'{t}'" for t in qterms) or "''"
+    return f"""
+WITH toks AS (
+  SELECT {docid_col} AS docid, unnest({tokenize_sql(text_col)}) AS term
+  FROM {table}
+),
+dl AS (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT term, docid, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN ({terms_in}) GROUP BY term, docid
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.docid,
+         sum({idf_sql('df.df', 'stats.n')} * {tfnorm_sql('tf.tf', 'dl.dl', 'stats.avgdl')}) AS s
+  FROM tf JOIN df USING (term) JOIN dl ON tf.docid = dl.docid CROSS JOIN stats
+  GROUP BY tf.docid
+)
+SELECT docid AS {docid_col}, round(s, {SCORE_DECIMALS}) AS score
+FROM scored ORDER BY s DESC, docid ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Index-backed top-k
+# ---------------------------------------------------------------------------
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.store = IndexStore(root)
+        self.meta = self.store.meta(spark)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _query_frame(self, queries: list[tuple[int, str]]) -> tuple[pd.DataFrame, list[str]]:
+        rows = []
+        for qid, text in queries:
+            for t in sorted(set(tokenize_py(text))):
+                rows.append((int(qid), t))
+        qpdf = pd.DataFrame(rows, columns=["qid", "term"])
+        if qpdf.empty:
+            return qpdf, []
+        return qpdf, sorted(qpdf["term"].unique().tolist())
+
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        if not terms:
+            return {}
+        n = int(self.meta["num_docs"])
+        rows = (
+            self.store.read(self.spark, "term_stats")
+            .where(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: float(idf_np(int(r["df"]), n)) for r in rows}
+
+    # -- public API -----------------------------------------------------------
+
+    def topk(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "wand",
+        round_scores: bool = False,
+    ) -> DataFrame:
+        """Top-k per query. Returns DataFrame(qid int, docid long, score double)."""
+        qpdf, terms = self._query_frame(queries)
+        if not terms:
+            return self.spark.createDataFrame([], "qid int, docid bigint, score double")
+        idf = self._idf_map(terms)
+        qpdf = qpdf[qpdf["term"].isin(idf)].copy()
+        qpdf["idf"] = qpdf["term"].map(idf)
+        if qpdf.empty:
+            return self.spark.createDataFrame([], "qid int, docid bigint, score double")
+        qdf = self.spark.createDataFrame(qpdf)
+
+        # term-pruned scan: predicate pushdown on the term column
+        post = (
+            self.store.read(self.spark, "postings")
+            .where(F.col("term").isin(sorted(qpdf["term"].unique().tolist())))
+            .select("term", "shard", "blocks")
+        )
+        pq = post.join(F.broadcast(qdf), "term")
+        sizes = self.store.read(self.spark, "shard_sizes")
+        avgdl = float(self.meta["avgdl"])
+
+        if mode == "exact":
+            out = self._exact(pq, sizes, avgdl, k)
+        elif mode == "wand":
+            out = self._wand(pq, sizes, avgdl, k)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        if round_scores:
+            out = out.select(
+                "qid", "docid", F.round("score", SCORE_DECIMALS).alias("score")
+            )
+        return out
+
+    # -- exact: decode everything, relational aggregation ---------------------
+
+    def _exact(self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int) -> DataFrame:
+        def score_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
+            if postings_pdf.empty or sizes_pdf.empty:
+                return pd.DataFrame({"qid": [], "docid": [], "contrib": []})
+            dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
+            start = int(sizes_pdf["start_docid"].iloc[0])
+            qids, docids, contribs = [], [], []
+            for row in postings_pdf.itertuples(index=False):
+                d_parts, t_parts, prev = [], [], -1
+                for blk in row.blocks:
+                    gaps = varint_decode(blk["docs_bin"], blk["count"]).astype(np.int64)
+                    d_parts.append(gaps.cumsum() + prev)
+                    t_parts.append(varint_decode(blk["tfs_bin"], blk["count"]).astype(np.int64))
+                    prev = int(blk["max_docid"])
+                d = np.concatenate(d_parts)
+                tf = np.concatenate(t_parts)
+                c = row.idf * tfnorm_np(tf, dl[d - start], avgdl)
+                qids.append(np.full(len(d), row.qid, np.int64))
+                docids.append(d)
+                contribs.append(c)
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(qids),
+                    "docid": np.concatenate(docids),
+                    "contrib": np.concatenate(contribs),
+                }
+            )
+
+        contrib = (
+            pq.groupBy("shard")
+            .cogroup(sizes.groupBy("shard"))
+            .applyInPandas(score_shard, schema="qid int, docid bigint, contrib double")
+        )
+        scores = contrib.groupBy("qid", "docid").agg(F.sum("contrib").alias("score"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            scores.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    # -- wand: block-max pruned kernel per shard -------------------------------
+
+    def _wand(self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int) -> DataFrame:
+        kk = int(k)
+        avg = float(avgdl)
+
+        def wand_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
+            if postings_pdf.empty or sizes_pdf.empty:
+                return pd.DataFrame({"qid": [], "docid": [], "score": []})
+            dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
+            start = int(sizes_pdf["start_docid"].iloc[0])
+            frames = []
+            for qid, qg in postings_pdf.groupby("qid"):
+                lists = [
+                    (float(r.idf), list(r.blocks)) for r in qg.itertuples(index=False)
+                ]
+                d, s = wand_topk(lists, dl, start, avg, kk)
+                frames.append(pd.DataFrame({"qid": int(qid), "docid": d, "score": s}))
+            return pd.concat(frames, ignore_index=True)
+
+        local = (
+            pq.groupBy("shard")
+            .cogroup(sizes.groupBy("shard"))
+            .applyInPandas(wand_shard, schema="qid int, docid bigint, score double")
+        )
+        # global top-k: per-qid merge of per-shard top-k (tiny: ≤ k per shard)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            local.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= kk)
+            .drop("rn")
+        )

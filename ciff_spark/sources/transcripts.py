@@ -1,0 +1,101 @@
+"""Deterministic synthetic multi-turn transcript generator (FIXTURES.md §1).
+
+Schema is exactly BASELINE.json's ``input_hint``:
+    conv_id: string, turn_idx: int, role: string, text: string,
+    tool: string, ts: timestamp
+
+Every row is a pure function of ``(seed, conversation index)`` — independent of
+partitioning, executor count, or row order — so the Spark-generated table and
+the locally generated pandas table are row-identical (the oracle builds from
+the same rows the engine indexes), and a regenerated bench input is always the
+same input. Vocabulary is Zipf(s=1.1) over 10k synthetic words: the top words
+land in most documents, which is what exercises the hot-term shard handling.
+
+One turn = one document; dense docid = rank of (conv_id, turn_idx) — the
+distributed analog of the reference's dense 0..N-1 DocRecord contract
+(/root/reference/src/lib.rs:545-547).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+VOCAB_SIZE = 10_000
+ZIPF_S = 1.1
+MAX_TURNS = 40
+BASE_TS = np.datetime64("2026-01-01T00:00:00")
+
+TOOLS = [
+    "search", "calculator", "python", "browser", "sql",
+    "filesystem", "email", "calendar", "weather", "maps",
+]
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+_VOCAB = np.array([f"w{i:06d}" for i in range(VOCAB_SIZE)])
+# Zipf cumulative distribution, precomputed once per process.
+_p = 1.0 / np.arange(1, VOCAB_SIZE + 1) ** ZIPF_S
+_ZIPF_CDF = np.cumsum(_p / _p.sum())
+
+
+def _conv_pdf(conv_index: int, seed: int) -> pd.DataFrame:
+    """All turns of one conversation — pure function of (seed, conv_index)."""
+    # golden-ratio seed mix, intentionally wrapping mod 2^64
+    mixed = (seed * 0x9E3779B97F4A7C15 + conv_index) % (1 << 64)
+    rng = np.random.default_rng(np.uint64(mixed))
+    n_turns = int(min(1 + rng.geometric(0.18), MAX_TURNS))
+    rows = []
+    conv_id = f"conv{conv_index:08d}"
+    for t in range(n_turns):
+        n_tok = int(3 + rng.integers(0, 118))
+        words = _VOCAB[np.searchsorted(_ZIPF_CDF, rng.random(n_tok))]
+        # ~1% noise: uppercase a word or glue punctuation, exercising the tokenizer
+        noise = rng.random(n_tok)
+        words = [
+            w.upper() if nz < 0.005 else (w + ",") if nz < 0.01 else w
+            for w, nz in zip(words.tolist(), noise)
+        ]
+        is_tool = rng.random() < 0.10 and t > 0
+        role = "tool" if is_tool else ("user" if t % 2 == 0 else "assistant")
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": " ".join(words),
+                "tool": TOOLS[int(rng.integers(0, len(TOOLS)))] if is_tool else None,
+                "ts": BASE_TS + np.timedelta64(60 * (conv_index * MAX_TURNS + t), "s"),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def transcripts_pdf(n_convs: int, seed: int = 42) -> pd.DataFrame:
+    """Local (oracle-side) generation — identical rows to ``transcripts_df``."""
+    parts = [_conv_pdf(i, seed) for i in range(n_convs)]
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+def transcripts_df(
+    spark: SparkSession, n_convs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed generation: one task per conv range, rows identical to
+    ``transcripts_pdf`` regardless of ``partitions``."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(iterator):
+        for pdf in iterator:
+            for conv_index in pdf["id"].tolist():
+                yield _conv_pdf(int(conv_index), seed)
+
+    return (
+        spark.range(0, n_convs, numPartitions=partitions)
+        .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+    )

@@ -1,0 +1,87 @@
+"""IndexStore — the on-disk layout of a ciff_spark index.
+
+The reference's index is one flat CIFF file (Header + PostingsLists +
+DocRecords, /root/reference/proto/common-index-format-v1.proto:3-7). Ours is a
+set of columnar tables under one root directory — Parquet in this sandbox,
+Iceberg in production (same layout; only the writer/committer changes, see
+``TableFormat``):
+
+  docs/         docid:long, <id cols...>, doclength:int       ≙ DocRecords
+  postings/     term, shard:int, df:long, cf:long,
+                blocks:array<struct<count,max_docid,max_tf,
+                max_tfnorm,docs_bin,tfs_bin>>                  ≙ PostingsLists,
+                doc-sharded: shard = docid // shard_size, so the global
+                per-term list is the concatenation of its shards in shard
+                order (disjoint, ascending docid ranges — merge is concat)
+  term_stats/   term, df:long, cf:long (collection-global, for idf)
+  shard_sizes/  shard:int, start_docid:long, count:int, dl_bin:binary
+                (u32 LE doclengths for the shard's dense docid range —
+                the distributed analog of PISA's mmap'd .sizes file,
+                /root/reference/src/lib.rs:520-549)
+  meta/         single row ≙ CIFF Header (num_docs, num_terms, total_terms,
+                avgdl, shard_size, block_size, description)
+  _lineage/     stage, partition_id, rows, postings, bytes, wall_ms, status
+                — per-partition build manifests for resume + metrics
+
+Writes are stage-atomic: each table is written to a temp dir and renamed into
+place (the Parquet stand-in for an Iceberg snapshot commit), so a killed build
+never leaves a half-written stage and resume can trust directory presence.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("docs", "postings", "term_stats", "shard_sizes", "meta", "_lineage")
+
+META_SCHEMA = (
+    "num_docs bigint, num_terms bigint, total_terms bigint, avgdl double, "
+    "shard_size bigint, block_size int, description string"
+)
+
+
+class IndexStore:
+    def __init__(self, root: str, fmt: str = "parquet") -> None:
+        self.root = root.rstrip("/")
+        if fmt != "parquet":  # Iceberg needs its runtime jar — not in this image
+            raise NotImplementedError(
+                "only parquet in the sandbox; production uses the same layout on Iceberg"
+            )
+        self.fmt = fmt
+
+    def path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and os.path.exists(f"{p}/_SUCCESS")
+
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Atomic stage commit: write to a temp sibling, then rename."""
+        final = self.path(table)
+        tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def drop(self) -> None:
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+
+    def meta(self, spark: SparkSession) -> dict:
+        row = self.read(spark, "meta").first()
+        return row.asDict()

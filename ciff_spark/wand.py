@@ -1,0 +1,122 @@
+"""Interval Block-Max top-k kernel (NumPy, runs inside Arrow UDF groups).
+
+A vectorization-friendly variant of Block-Max WAND (Ding & Suel, SIGIR 2011;
+the pruning idea the north-rule mandates). Instead of pointer-chasing document
+-at-a-time, we work interval-at-a-time over the docid axis:
+
+1. Each block of each query-term list covers a docid interval
+   [prev_block_max+1, max_docid] with score upper bound
+   idf * max_tfnorm (clamped at 0 for negative-idf terms — their
+   contribution is always ≤ 0 under the pinned formula, which permits
+   negative idf; classical WAND assumes non-negative contributions, this
+   variant stays exact without that assumption).
+2. Block boundaries partition the shard's docid space into intervals; the
+   upper bound U(interval) = Σ_t bound of t's covering block.
+3. Intervals are processed in descending U; each processed interval is scored
+   EXACTLY (decode the ≤ |q| covering blocks — cached — and accumulate full
+   BM25). A top-k heap maintains the running threshold θ; once U < θ (and the
+   heap is full) every remaining doc provably cannot enter the top-k.
+
+Exactness: every docid lies in exactly one interval, and all its postings
+across the query lists lie in the blocks covering that interval, so processed
+docs get their complete score; skipped docs have score ≤ U < θ.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ciff_spark.functions.codec import varint_decode
+from ciff_spark.functions.scoring import tfnorm_np
+
+
+def _decode_block_arrays(blk: dict, prev_max: int) -> tuple[np.ndarray, np.ndarray]:
+    gaps = varint_decode(blk["docs_bin"], blk["count"]).astype(np.int64)
+    return gaps.cumsum() + prev_max, varint_decode(blk["tfs_bin"], blk["count"]).astype(np.int64)
+
+
+def wand_topk(
+    lists: list[tuple[float, list[dict]]],
+    dl: np.ndarray,
+    start_docid: int,
+    avgdl: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k over one docid shard.
+
+    lists: [(idf, blocks)] per query term present in this shard;
+    dl: uint32 doclengths for the shard's dense docid range starting at
+    ``start_docid``. Returns (docids, scores) sorted by (-score, docid).
+    """
+    if not lists or k <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    # block geometry: per list, arrays of lo/hi/bound (+ prev_max for decode)
+    los, his, bounds, prevs = [], [], [], []
+    for idf, blocks in lists:
+        hi = np.array([b["max_docid"] for b in blocks], np.int64)
+        lo = np.empty_like(hi)
+        lo[0] = 0
+        lo[1:] = hi[:-1] + 1
+        mtf = np.array([b["max_tfnorm"] for b in blocks], np.float64)
+        los.append(lo)
+        his.append(hi)
+        bounds.append(np.maximum(idf * mtf, 0.0))
+        prevs.append(np.concatenate(([np.int64(-1)], hi[:-1])))
+
+    # intervals: refinement of all block boundaries
+    pts = np.unique(np.concatenate([np.concatenate((lo, hi + 1)) for lo, hi in zip(los, his)]))
+    starts, ends = pts[:-1], pts[1:] - 1
+    U = np.zeros(len(starts), np.float64)
+    for lo, hi, bd in zip(los, his, bounds):
+        a = np.searchsorted(pts, lo)
+        b = np.searchsorted(pts, hi + 1)
+        np.add.at(U, a, bd)
+        mask = b < len(U)
+        np.subtract.at(U, b[mask], bd[mask])
+    U = np.cumsum(U)
+
+    order = np.argsort(-U, kind="stable")
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of the best k
+    cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    for t in order:
+        if len(heap) >= k and U[t] < heap[0][0]:
+            break  # all remaining intervals bounded below current k-th best
+        s, e = int(starts[t]), int(ends[t])
+        acc_docids: list[np.ndarray] = []
+        acc_contrib: list[np.ndarray] = []
+        for i, (idf, blocks) in enumerate(lists):
+            j = int(np.searchsorted(his[i], s))
+            if j >= len(his[i]) or los[i][j] > s:
+                continue  # no block of list i covers this interval
+            key = (i, j)
+            if key not in cache:
+                cache[key] = _decode_block_arrays(blocks[j], int(prevs[i][j]))
+            d, tf = cache[key]
+            a, b = np.searchsorted(d, s), np.searchsorted(d, e + 1)
+            if a == b:
+                continue
+            dd = d[a:b]
+            contrib = idf * tfnorm_np(tf[a:b], dl[dd - start_docid], avgdl)
+            acc_docids.append(dd)
+            acc_contrib.append(contrib)
+        if not acc_docids:
+            continue
+        alld = np.concatenate(acc_docids)
+        allc = np.concatenate(acc_contrib)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        scores = np.zeros(len(uniq), np.float64)
+        np.add.at(scores, inv, allc)
+        for d_, s_ in zip(uniq.tolist(), scores.tolist()):
+            if len(heap) < k:
+                heapq.heappush(heap, (s_, -d_))
+            elif (s_, -d_) > heap[0]:
+                heapq.heapreplace(heap, (s_, -d_))
+
+    out = sorted(((s_, -d_) for s_, d_ in heap), key=lambda x: (-x[0], x[1]))
+    docids = np.array([d for _, d in out], np.int64)
+    scores = np.array([s for s, _ in out], np.float64)
+    return docids, scores
