@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship path: build the block-compressed inverted
+index over sf0.001 ``documents`` and answer a BM25 top-k query with Block-Max
+WAND. ``queries()``/``oracle_sql()`` enumerate every implemented operator from
+SURVEY.md §2 plus the training-data-pipeline families (dedup / similarity /
+text analysis / events / relational), each paired with DuckDB oracle SQL
+generated from the same pinned semantic fragments the engine uses.
 """
 
 from __future__ import annotations
@@ -15,24 +16,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build + Block-Max WAND BM25 top-k on sf0.001."""
+    from ciff_spark.operators.index_queries import QUERIES
+
+    fn, _ = QUERIES["bm25_idx_wand_mix"]
+    return fn(spark, "/root/testdata/sf0.001")
+
+
+def _all_modules():
+    from ciff_spark.operators import (  # noqa: PLC0415
+        dedup,
+        events,
+        index_queries,
+        relational,
+        simsearch,
+        textquality,
+    )
+
+    return (index_queries, dedup, textquality, simsearch, events, relational)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _all_modules():
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _all_modules():
+        for name, (_fn, sql) in mod.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,288 @@
+"""Deduplication operators over ``documents`` — the training-data-pipeline
+family: exact hash, word-3-gram Jaccard, MinHash + banded LSH, SimHash.
+
+Portability pin: every hash is md5-derived —
+``hash60(s) = int(hex(md5(s))[0:15], 16)`` — because md5 is bit-identical in
+Spark (``F.md5`` + ``F.conv``) and DuckDB (``md5`` + ``('0x'||…)::BIGINT``),
+so signatures/buckets match the oracle exactly. 15 hex digits = 60 bits < 2^63.
+
+Scale notes (the part that matters at 100 TB):
+- exact dedup is a pure hash groupBy (map-side partial agg, one shuffle);
+- the 3-gram Jaccard pair join is the EXACT verifier — its candidate
+  generation at scale is MinHash LSH (band-bucket join), implemented below;
+  the shingle equi-join version is quadratic only within shared-shingle
+  buckets, never a cross join;
+- MinHash signatures are one explode + groupBy(doc) min-agg per permutation —
+  all JVM built-ins, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_sql
+from ciff_spark.sources.testdata import load
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS = 2
+JACCARD_THRESHOLD = 0.8
+LSH_VERIFY_THRESHOLD = 0.7
+SIMHASH_BITS = 16
+
+
+# -- portable md5-derived 60-bit hash ---------------------------------------
+
+def hash60_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# -- shingles: distinct word 3-grams per doc ---------------------------------
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docid, shingle) distinct word-3-grams, built with pure array exprs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("docid"), tokenize_expr("text").alias("t")
+    )
+    sh = toks.select(
+        "docid",
+        F.explode(
+            F.when(
+                F.size("t") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT a.doc_id AS docid,
+         a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM (SELECT doc_id, unnest({tokenize_sql('text')}) AS term,
+               generate_subscripts({tokenize_sql('text')}, 1) AS i
+        FROM documents) a
+  JOIN (SELECT doc_id, unnest({tokenize_sql('text')}) AS term,
+               generate_subscripts({tokenize_sql('text')}, 1) AS i
+        FROM documents) b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN (SELECT doc_id, unnest({tokenize_sql('text')}) AS term,
+               generate_subscripts({tokenize_sql('text')}, 1) AS i
+        FROM documents) c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: md5(text) groups, keep-first
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_docid"))
+    )
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS text_hash, count(*)::BIGINT AS n, "
+    "min(doc_id) AS keep_docid FROM documents GROUP BY md5(text)"
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact verifier)
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("docid").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.docid") < F.col("y.docid")))
+        .groupBy(F.col("x.docid").alias("d1"), F.col("y.docid").alias("d2"))
+        .agg(F.count("*").alias("it"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("docid", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("docid", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("jaccard", F.round(F.col("it") / (F.col("n1") + F.col("n2") - F.col("it")), 6))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+    return out
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT docid, count(*)::BIGINT AS n FROM sh GROUP BY docid),
+inter AS (
+  SELECT x.docid AS d1, y.docid AS d2, count(*)::BIGINT AS it
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.docid < y.docid
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(it * 1.0 / (s1.n + s2.n - it), 6) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.docid JOIN sizes s2 ON d2 = s2.docid
+WHERE round(it * 1.0 / (s1.n + s2.n - it), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(hash60_col(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("docid").agg(*aggs)
+
+
+def _minhash_sql_cols() -> str:
+    cols = []
+    for j in range(N_MINHASH):
+        salted = "'" + str(j) + ":' || shingle"
+        cols.append(f"min({hash60_sql(salted)}) AS m{j}")
+    return ", ".join(cols)
+
+
+DEDUP_MINHASH_SQL = (
+    f"WITH sh AS ({_SHINGLES_SQL}) SELECT docid, "
+    + _minhash_sql_cols()
+    + " FROM sh GROUP BY docid"
+)
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH: band on pairs of signature values; verify candidates with exact
+    Jaccard ≥ threshold. The scale path: candidate generation is a band-value
+    equi-join (shuffle on band hash), never all-pairs."""
+    sig = dedup_minhash_signatures(spark, sf_dir).cache()
+    bands = None
+    for b in range(N_BANDS):
+        band = sig.select(
+            "docid",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("bv"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.docid") < F.col("y.docid")),
+        )
+        .select(F.col("x.docid").alias("d1"), F.col("y.docid").alias("d2"))
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("docid").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(cand, (F.col("a.docid") == F.col("d1")))
+        .join(sh.alias("b"), (F.col("b.docid") == F.col("d2")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("it"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("docid", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("docid", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("jaccard", F.round(F.col("it") / (F.col("n1") + F.col("n2") - F.col("it")), 6))
+        .where(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+DEDUP_LSH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT docid, {_minhash_sql_cols()}
+        FROM sh GROUP BY docid),
+bands AS (
+  {" UNION ALL ".join(f"SELECT docid, {b} AS band, m{2*b} || '_' || m{2*b+1} AS bv FROM sig" for b in range(N_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT x.docid AS d1, y.docid AS d2
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.docid < y.docid
+),
+sizes AS (SELECT docid, count(*)::BIGINT AS n FROM sh GROUP BY docid),
+inter AS (
+  SELECT d1, d2, count(*)::BIGINT AS it
+  FROM cand JOIN sh a ON a.docid = d1 JOIN sh b ON b.docid = d2 AND a.shingle = b.shingle
+  GROUP BY d1, d2
+)
+SELECT d1, d2, round(it * 1.0 / (s1.n + s2.n - it), 6) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.docid JOIN sizes s2 ON d2 = s2.docid
+WHERE round(it * 1.0 / (s1.n + s2.n - it), 6) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, tf-weighted, md5-derived bit source)
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("docid"), F.explode(tokenize_expr("text")).alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", hash60_col(F.col("term")))
+    )
+    bits = tf.select(
+        "docid", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    )
+    acc = (
+        bits.withColumn("w", F.expr("((shiftright(h, j) & 1) * 2 - 1) * tf"))
+        .groupBy("docid", "j")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        acc.withColumn(
+            "bit",
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"),
+        )
+        .groupBy("docid")
+        .agg(F.sum("bit").cast("long").alias("simhash"))
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tf AS (
+  SELECT docid, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id AS docid, unnest({tokenize_sql('text')}) AS term FROM documents)
+  GROUP BY docid, term
+),
+bits AS (
+  SELECT docid, j,
+         sum((((({hash60_sql('term')}) >> j) & 1) * 2 - 1) * tf) AS s
+  FROM tf, generate_series(0, {SIMHASH_BITS - 1}) AS t(j)
+  GROUP BY docid, j
+)
+SELECT docid, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY docid
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SQL),
+    "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+}

@@ -1,0 +1,87 @@
+"""Event-stream operators over ``events``: sessionization (gap-based) and
+tumbling-window aggregation. Batch implementations here (window functions /
+date_trunc); the streaming module reuses the same semantics with
+Structured Streaming primitives."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ciff_spark.sources.testdata import load
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > SESSION_GAP_S),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_idx", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+EV_SESSIONIZE_SQL = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+EV_TUMBLING_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "ev_sessionize": (ev_sessionize, EV_SESSIONIZE_SQL),
+    "ev_tumbling_hour": (ev_tumbling_hour, EV_TUMBLING_SQL),
+}

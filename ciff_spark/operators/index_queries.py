@@ -1,0 +1,169 @@
+"""Inverted-index operators over the ``documents`` table (SURVEY §2.A/§2.D/§2.E).
+
+Four statistics operators (A1-A4: the tf inversion, per-term df/cf, per-doc
+lengths, header stats) plus BM25 top-k in three engines:
+- relational (index-free, pure built-ins),
+- index-backed exact (decode + vectorized scoring),
+- index-backed Block-Max WAND (pruned).
+All three are compared against ONE DuckDB oracle SQL per query — proving
+index build + decode + pruning preserve exact scoring semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ciff_spark.build import BuildConfig, build_index
+from ciff_spark.functions.scoring import SCORE_DECIMALS
+from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_sql
+from ciff_spark.query import IndexReader, bm25_topk_relational, bm25_topk_sql
+from ciff_spark.sources.testdata import load
+
+# Fixed reference queries over the documents vocabulary: 'dup' is the one
+# rare term (positive idf); everything else is Zipf-hot (negative idf).
+Q_RARE = "dup"
+Q_HOT = "batch"
+Q_MIX = "dup batch scan"
+Q_MULTI = "spark window merge vector"
+K = 10
+
+_TOKS_SQL = f"SELECT doc_id AS docid, unnest({tokenize_sql('text')}) AS term FROM documents"
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("docid"), F.explode(tokenize_expr("text")).alias("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: inversion (term, docid, tf)
+# ---------------------------------------------------------------------------
+
+def a1_invert_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _toks(spark, sf_dir).groupBy("term", "docid").agg(F.count("*").alias("tf"))
+
+
+A1_SQL = f"SELECT term, docid, count(*)::BIGINT AS tf FROM ({_TOKS_SQL}) GROUP BY term, docid"
+
+
+# ---------------------------------------------------------------------------
+# A2: per-term document/collection frequency
+# ---------------------------------------------------------------------------
+
+def a2_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        a1_invert_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
+    )
+
+
+A2_SQL = (
+    f"SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS cf "
+    f"FROM ({A1_SQL}) GROUP BY term"
+)
+
+
+# ---------------------------------------------------------------------------
+# A3: per-doc length (Σtf — token count, the pinned doclength)
+# ---------------------------------------------------------------------------
+
+def a3_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _toks(spark, sf_dir).groupBy("docid").agg(F.count("*").alias("doclength"))
+
+
+A3_SQL = f"SELECT docid, count(*)::BIGINT AS doclength FROM ({_TOKS_SQL}) GROUP BY docid"
+
+
+# ---------------------------------------------------------------------------
+# A4: collection header stats (≙ CIFF Header, proto:10-34)
+# ---------------------------------------------------------------------------
+
+def a4_index_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks(spark, sf_dir)
+    num_docs = docs.count()
+    return toks.agg(
+        F.lit(num_docs).cast("long").alias("num_docs"),
+        F.count_distinct("term").alias("num_terms"),
+        F.count("*").alias("total_terms"),
+        F.round(F.count("*") / F.lit(num_docs), SCORE_DECIMALS).alias("avgdl"),
+    )
+
+
+A4_SQL = f"""
+SELECT (SELECT count(*)::BIGINT FROM documents) AS num_docs,
+       count(DISTINCT term)::BIGINT AS num_terms,
+       count(*)::BIGINT AS total_terms,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), {SCORE_DECIMALS}) AS avgdl
+FROM ({_TOKS_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k — relational and index-backed, one shared oracle per query
+# ---------------------------------------------------------------------------
+
+def _bm25_relational(query: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25_topk_relational(
+            load(spark, sf_dir, "documents"), query, k=K, docid_col="doc_id"
+        )
+
+    return fn
+
+
+def index_root_for(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/ciff_spark_idx/{tag}"
+
+
+def documents_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse — resume makes this a no-op when complete) the
+    documents index for ``sf_dir``."""
+    return build_index(
+        load(spark, sf_dir, "documents"),
+        index_root_for(sf_dir),
+        id_cols=("doc_id",),
+        docid_col="doc_id",
+        config=BuildConfig(n_shards=8, n_pgroups=16),
+        resume=True,
+        description=f"documents index @ {sf_dir}",
+    )
+
+
+def _bm25_indexed(query: str, mode: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        documents_index(spark, sf_dir)
+        reader = IndexReader(spark, index_root_for(sf_dir))
+        # over-fetch, then re-rank on ROUNDED score — the driver-facing
+        # ordering contract shared with the DuckDB oracle (see bm25_topk_sql)
+        out = reader.topk([(0, query)], k=K + 50, mode=mode, round_scores=False)
+        return (
+            out.select(
+                F.col("docid").alias("doc_id"),
+                F.round("score", SCORE_DECIMALS).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(K)
+        )
+
+    return fn
+
+
+QUERIES: dict[str, tuple] = {
+    "a1_invert_tf": (a1_invert_tf, A1_SQL),
+    "a2_term_stats": (a2_term_stats, A2_SQL),
+    "a3_doc_lengths": (a3_doc_lengths, A3_SQL),
+    "a4_index_meta": (a4_index_meta, A4_SQL),
+    "bm25_rel_rare": (_bm25_relational(Q_RARE), bm25_topk_sql(Q_RARE, K)),
+    "bm25_rel_hot": (_bm25_relational(Q_HOT), bm25_topk_sql(Q_HOT, K)),
+    "bm25_rel_mix": (_bm25_relational(Q_MIX), bm25_topk_sql(Q_MIX, K)),
+    "bm25_rel_multi": (_bm25_relational(Q_MULTI), bm25_topk_sql(Q_MULTI, K)),
+    "bm25_idx_exact_mix": (_bm25_indexed(Q_MIX, "exact"), bm25_topk_sql(Q_MIX, K)),
+    "bm25_idx_wand_mix": (_bm25_indexed(Q_MIX, "wand"), bm25_topk_sql(Q_MIX, K)),
+    "bm25_idx_wand_rare": (_bm25_indexed(Q_RARE, "wand"), bm25_topk_sql(Q_RARE, K)),
+    "bm25_idx_wand_multi": (_bm25_indexed(Q_MULTI, "wand"), bm25_topk_sql(Q_MULTI, K)),
+}

@@ -1,0 +1,213 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+- brute-force cosine top-k: the exactness baseline. All-JVM: the dot product
+  and norms are ``aggregate``/``zip_with`` expressions inside whole-stage
+  codegen (double precision — DuckDB's ``list_cosine_similarity`` is float32,
+  so the oracle SQL computes cosine manually in double via positional unnest).
+- IVF-style partitioned search: restrict to the query's coarse cluster (the
+  ``label`` column plays the centroid-assignment role) — the scale path that
+  scans 1/|clusters| of the corpus.
+- near-dup pairs: cosine ≥ threshold over candidate pairs.
+- random-hyperplane LSH bucketing: deterministic md5-derived hyperplanes →
+  sign-bit bucket per vector; the bucket-join is the 100 TB candidate
+  generator (probes only matching buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ciff_spark.operators.dedup import hash60_sql
+from ciff_spark.sources.testdata import load
+
+K_ANN = 20
+K_IVF = 10
+NEARDUP_COS = 0.95
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding", "label")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]], int(row["label"])
+
+
+def _cos_to_query(q: list[float]) -> Column:
+    qcol = F.array(*[F.lit(x) for x in q])
+    qn = sum(x * x for x in q) ** 0.5
+    return _dot(F.col("embedding"), qcol) / (_norm(F.col("embedding")) * F.lit(qn))
+
+
+# DuckDB cosine in DOUBLE precision via positional unnest (generate_subscripts)
+_COS_SQL = """
+WITH qv AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS qx
+  FROM embeddings WHERE vec_id = {qid}
+),
+ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS vx
+  FROM embeddings
+),
+cos AS (
+  SELECT ev.vec_id, any_value(ev.label) AS label,
+         sum(vx * qx) / (sqrt(sum(vx * vx)) * sqrt(sum(qx * qx))) AS c
+  FROM ev JOIN qv USING (i) GROUP BY ev.vec_id
+)
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, _ = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(_cos_to_query(q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(K_ANN)
+    )
+
+
+ANN_COSINE_SQL = (
+    _COS_SQL.format(qid=0)
+    + f"SELECT vec_id, round(c, 6) AS cos FROM cos WHERE vec_id != 0 "
+    f"ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_ANN}"
+)
+
+
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse search: only the query's cluster (label) is scanned."""
+    q, qlabel = _query_vec(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.where((F.col("vec_id") != 0) & (F.col("label") == qlabel))
+        .select("vec_id", F.round(_cos_to_query(q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(K_IVF)
+    )
+
+
+ANN_IVF_SQL = (
+    _COS_SQL.format(qid=0)
+    + f"""SELECT vec_id, round(c, 6) AS cos FROM cos
+WHERE vec_id != 0 AND label = (SELECT label FROM embeddings WHERE vec_id = 0)
+ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}"""
+)
+
+
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold. Exact verifier; at scale the LSH
+    buckets below generate the candidates instead of the full pair join."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    emb = emb.withColumn("n", _norm(F.col("e")))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(
+                _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= NEARDUP_COS)
+    )
+
+
+NEARDUP_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS vx
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(vx * vx)) AS n FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, sum(a.vx * b.vx) AS d
+  FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT v1, v2, round(d / (n1.n * n2.n), 6) AS cos
+FROM dots JOIN norms n1 ON v1 = n1.vec_id JOIN norms n2 ON v2 = n2.vec_id
+WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
+"""
+
+
+def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit bucket per vector from md5-derived deterministic hyperplanes:
+    plane p, dim i weight = hash60(p:i) / 2^59 - 1.0  ∈ [-1, 1)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "vx")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("vx").cast("double").alias("vx"))
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    w = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("i"))), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(2**59)) - F.lit(1.0)
+    dots = (
+        ev.crossJoin(F.broadcast(planes))
+        .withColumn("w", w)
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("vx") * F.col("w")).alias("d"))
+    )
+    return (
+        dots.withColumn(
+            "bit",
+            F.expr("CASE WHEN d > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+
+
+_W_SQL = hash60_sql("p || ':' || i") + " / POW(2, 59) - 1.0"
+LSH_BUCKETS_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS vx
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, p, sum(vx * ({_W_SQL})) AS d
+  FROM ev, generate_series(0, {N_PLANES - 1}) AS t(p)
+  GROUP BY vec_id, p
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN d > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
+    "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
+    "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),
+}

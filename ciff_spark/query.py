@@ -90,9 +90,11 @@ def bm25_topk_relational(
         .groupBy("docid")
         .agg(F.sum("contrib").alias("score"))
     )
-    out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     if round_scores:
-        out = out.select("docid", F.round("score", SCORE_DECIMALS).alias("score"))
+        # round BEFORE ranking: cross-engine f64 summation-order noise (~1 ulp)
+        # must not flip the k-boundary or tie-breaks vs the oracle
+        scored = scored.select("docid", F.round("score", SCORE_DECIMALS).alias("score"))
+    out = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     return out.withColumnRenamed("docid", docid_col) if docid_col != "docid" else out
 
 
@@ -127,7 +129,7 @@ scored AS (
   GROUP BY tf.docid
 )
 SELECT docid AS {docid_col}, round(s, {SCORE_DECIMALS}) AS score
-FROM scored ORDER BY s DESC, docid ASC LIMIT {k}
+FROM scored ORDER BY round(s, {SCORE_DECIMALS}) DESC, docid ASC LIMIT {k}
 """
 
 

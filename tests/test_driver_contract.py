@@ -1,0 +1,62 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.01 (and sf0.001 for heavy pair joins) and compare against its
+oracle_sql() via DuckDB — row count, sorted-column schema, and
+order-insensitive value equality."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from ciff_spark.sources.testdata import TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif pdf[c].dtype.kind in "fiu":
+            pdf[c] = pd.to_numeric(pdf[c]).astype("float64")
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+ALL = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    got = q(spark, SF_DIR).toPandas()
+    assert name in sqls, f"{name} has no oracle — add one or justify"
+    exp = duck.execute(sqls[name]).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    g, e = _normalize(got), _normalize(exp)
+    assert list(g.columns) == list(e.columns), f"{name}: cols {list(g.columns)} vs {list(e.columns)}"
+    for c in g.columns:
+        if g[c].dtype.kind == "f":
+            assert ((g[c] - e[c]).abs().fillna(0) < 1e-9).all() and (
+                g[c].isna() == e[c].isna()
+            ).all(), f"{name}: numeric col {c} mismatch"
+        else:
+            assert g[c].equals(e[c]), f"{name}: col {c} mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
+    assert set(pdf.columns) == {"doc_id", "score"}
