@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_postings
+from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_many
 from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
 from ciff_spark.plans.rank import add_dense_docid
 from ciff_spark.store import META_SCHEMA, IndexStore
@@ -43,11 +43,15 @@ from ciff_spark.store import META_SCHEMA, IndexStore
 class BuildConfig:
     n_shards: int = 8           # docid-range shards (≙ salted hot-term split)
     shard_size: int | None = None  # override: docids per shard
+    min_shard_size: int = 1     # floor so tiny corpora don't over-shard
     block_size: int = BLOCK_SIZE
     n_pgroups: int = 32         # term-hash output partitions (resume granularity)
     pgroup_batches: int = 1     # checkpoint batches (1 = single job, fastest)
     tokenizer: str = "builtin"  # "builtin" (JVM regex) | "pandas" (Arrow UDF)
     rank_partitions: int | None = None
+    encode_partitions: int | None = None  # encode-stage parallelism (default 2×cores)
+    input_sorted: bool = False  # input partitions already ordered by id_cols
+    dl_broadcast_max_docs: int = 5_000_000  # exact block bounds via dl broadcast up to here
     fail_after_batches: int | None = None  # test hook: simulate a crash mid-build
 
 
@@ -98,7 +102,9 @@ def build_index(
             raise ValueError(f"docid_col {docid_col!r} is not dense 0..N-1: {chk}")
         persisted = None
     else:
-        ranked = add_dense_docid(base, list(id_cols), cfg.rank_partitions)
+        ranked = add_dense_docid(
+            base, list(id_cols), cfg.rank_partitions, assume_sorted=cfg.input_sorted
+        )
         persisted = ranked
 
     toks = ranked.select(
@@ -125,48 +131,63 @@ def build_index(
     num_docs = int(stats["n"])
     total_terms = int(stats["tt"] or 0)
     avgdl = total_terms / num_docs if num_docs else 0.0
-    shard_size = cfg.shard_size or max(1, -(-num_docs // cfg.n_shards))
+    shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
 
     # ---- stage: postings (pgroup-batched, resumable) ------------------------
+    # tokenize → hash-agg tf (map-side combine) → repartition skinny
+    # (term, docid, tf) rows by pgroup + in-partition sort → one Arrow pass
+    # per partition block-encodes every (term, shard) group vectorized.
     done = _done_pgroups(store, spark)
     todo = [g for g in range(cfg.n_pgroups) if g not in done]
     if todo:
         _clean_partial_pgroups(store, todo)
+        # hash-agg first (map-side partial combine shrinks the token stream
+        # ~1.5-2× before it hits the wire), THEN repartition the skinny
+        # (term, docid, tf) rows to pgroups for encoding
         tf = (
-            toks.select(
-                "docid",
-                F.coalesce(F.size("tokens"), F.lit(0)).alias("dl"),
-                F.explode("tokens").alias("term"),
-            )
+            toks.select("docid", F.explode("tokens").alias("term"))
             .groupBy("term", "docid")
-            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-            .withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+            .agg(F.count("*").alias("tf"))
             .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
         )
         block_size = cfg.block_size
         avgdl_c = avgdl
+        n_pgroups = cfg.n_pgroups
+        shard_size_c = shard_size
 
-        def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            term, shard, pgroup = key
-            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-            docids = pdf["docid"].to_numpy()[order]
-            tfs = pdf["tf"].to_numpy()[order]
-            dls = pdf["dl"].to_numpy()[order]
-            blocks = encode_postings(
-                docids, tfs, doclens=dls, avgdl=avgdl_c, block_size=block_size
+        # exact per-block BM25 bounds need dl[docid]; broadcast the dense
+        # doclength array when it fits (4 B/doc), else fall back to the
+        # dl-free bound (true but looser) — the 10^12-doc path
+        if num_docs <= cfg.dl_broadcast_max_docs:
+            dl_pdf = docs.select("docid", "doclength").toPandas()
+            dl_arr = np.zeros(num_docs, np.uint32)
+            dl_arr[dl_pdf["docid"].to_numpy()] = dl_pdf["doclength"].to_numpy()
+            dl_bc = spark.sparkContext.broadcast(dl_arr)
+        else:
+            dl_bc = None
+
+        def encode_partition(iterator):
+            # groups never straddle partitions (hash-partitioned on pgroup,
+            # pgroup = f(term)), but they can straddle Arrow batches —
+            # concatenate the partition first
+            pdfs = [p for p in iterator if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            terms = pdf["term"].to_numpy()
+            docids = pdf["docid"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            doclens = dl_bc.value[docids] if dl_bc is not None else None
+            rows = encode_many(
+                terms,
+                docids // shard_size_c,
+                docids,
+                tfs,
+                doclens,
+                avgdl_c,
+                block_size,
             )
-            return pd.DataFrame(
-                [
-                    {
-                        "term": term,
-                        "shard": int(shard),
-                        "df": int(len(docids)),
-                        "cf": int(tfs.sum()),
-                        "blocks": blocks,
-                        "pgroup": int(pgroup),
-                    }
-                ]
-            )
+            yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
 
         n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
         batches = np.array_split(np.array(todo), n_batches)
@@ -175,18 +196,21 @@ def build_index(
                 raise RuntimeError("injected failure (BuildConfig.fail_after_batches)")
             batch = [int(g) for g in batch]
             t0 = time.time()
+            # partition by pgroup BEFORE encoding: each task then writes into
+            # exactly one pgroup subdir (≈1 file per pgroup, not tasks×pgroups
+            # small files); (term, shard) groups stay contiguous because
+            # pgroup is a function of term
             part = (
                 tf.where(F.col("pgroup").isin(batch))
-                .groupBy("term", "shard", "pgroup")
-                .applyInPandas(encode_group, schema=POSTINGS_SCHEMA + ", pgroup int")
-            )
-            part.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
-            wall = int((time.time() - t0) * 1000)
-            # manifest AFTER the data commit → crash between the two re-runs
-            # the batch; the cleanup above makes that idempotent
-            m = (
-                spark.read.parquet(store.path("postings"))
-                .where(F.col("pgroup").isin(batch))
+                .repartition(len(batch), "pgroup")
+                .sortWithinPartitions("pgroup", "term", "docid")
+                .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+                .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
+            ).persist()
+            # per-pgroup manifest metrics from the cached frame (one encode
+            # pass; on Iceberg these would come free from snapshot stats)
+            m_rows = (
+                part.groupBy("pgroup")
                 .agg(
                     F.count("*").alias("rows"),
                     F.sum("df").alias("postings"),
@@ -200,14 +224,27 @@ def build_index(
                         )
                     ).alias("bytes"),
                 )
-                .first()
+                .collect()
             )
-            for g in batch:
-                _lineage(
-                    store, spark, "postings", g,
-                    rows=int(m["rows"] or 0), postings=int(m["postings"] or 0),
-                    bytes_=int(m["bytes"] or 0), wall_ms=wall,
-                )
+            part.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
+            part.unpersist()
+            wall = int((time.time() - t0) * 1000)
+            # manifest AFTER the data commit → a crash between the two re-runs
+            # the batch; the cleanup above makes that idempotent
+            stats_by_g = {int(r["pgroup"]): r for r in m_rows}
+            _lineage_rows(
+                store, spark,
+                [
+                    (
+                        "postings", g,
+                        int(stats_by_g[g]["rows"]) if g in stats_by_g else 0,
+                        int(stats_by_g[g]["postings"]) if g in stats_by_g else 0,
+                        int(stats_by_g[g]["bytes"]) if g in stats_by_g else 0,
+                        wall, "done",
+                    )
+                    for g in batch
+                ],
+            )
 
     # ---- stage: shard_sizes (≙ PISA .sizes, one u32 array per shard) -------
     if not store.exists("shard_sizes"):
@@ -261,15 +298,22 @@ def build_index(
     return store
 
 
-def _lineage(store, spark, stage, partition_id, rows=None, postings=None,
-             bytes_=None, wall_ms=None):
-    row = [(stage, int(partition_id), rows, postings, bytes_, wall_ms, "done")]
+def _lineage_rows(store, spark, rows: list[tuple]) -> None:
     df = spark.createDataFrame(
-        row,
+        rows,
         "stage string, partition_id int, rows bigint, postings bigint, "
         "bytes bigint, wall_ms bigint, status string",
     )
-    df.write.mode("append").parquet(store.path("_lineage"))
+    # one driver-local file append per batch — no Spark job fan-out
+    df.coalesce(1).write.mode("append").parquet(store.path("_lineage"))
+
+
+def _lineage(store, spark, stage, partition_id, rows=None, postings=None,
+             bytes_=None, wall_ms=None):
+    _lineage_rows(
+        store, spark,
+        [(stage, int(partition_id), rows, postings, bytes_, wall_ms, "done")],
+    )
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:

@@ -153,6 +153,121 @@ def encode_postings(
     return blocks
 
 
+def tokens_to_tf(terms, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run-length aggregate sorted token instances → (terms, docids, tfs).
+
+    Input rows are (term, docid) one per token occurrence, pre-sorted by
+    (term, docid); tf = run length. Replaces a whole JVM hash-agg shuffle
+    stage with one vectorized pass inside the encode partition."""
+    n = len(docids)
+    if n == 0:
+        return np.asarray(terms), docids, np.zeros(0, np.int64)
+    terms = np.asarray(terms, dtype=object)
+    docids = np.ascontiguousarray(docids, np.int64)
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (terms[1:] != terms[:-1]) | (docids[1:] != docids[:-1])
+    starts = np.flatnonzero(new)
+    tfs = np.diff(np.append(starts, n))
+    return terms[starts], docids[starts], tfs
+
+
+def encode_many(
+    terms,
+    shards: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray | None,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode MANY posting lists at once — the whole-partition fast path.
+
+    Input rows must be pre-sorted by (term, shard, docid); encodes every
+    (term, shard) group in one vectorized pass: gap computation, LEB128, and
+    per-block maxima (``np.maximum.reduceat``) run over the full partition
+    with no per-group Python/pandas. Per-group work is reduced to slicing the
+    shared byte buffer — ~100× faster than a per-group Arrow UDF when groups
+    are small (Zipf tail).
+
+    Yields tuples (term, shard, df, cf, blocks) where blocks is the same
+    list-of-dicts ``encode_postings`` produces (bit-identical output).
+    """
+    n = len(docids)
+    if n == 0:
+        return []
+    docids = np.ascontiguousarray(docids, np.int64)
+    tfs = np.ascontiguousarray(tfs, np.int64)
+    terms = np.asarray(terms, dtype=object)
+    shards = np.ascontiguousarray(shards, np.int64)
+
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    grp_start = np.flatnonzero(new_grp)
+    grp_id = np.cumsum(new_grp) - 1
+    g = len(grp_start)
+
+    gaps = np.empty(n, np.int64)
+    gaps[0] = 0
+    gaps[1:] = docids[1:] - docids[:-1]
+    gaps[grp_start] = docids[grp_start] + 1
+    if n > 1 and (gaps[~new_grp] <= 0).any():
+        raise ValueError("docids must be strictly ascending within each group")
+    if (tfs <= 0).any():
+        raise ValueError("tfs must be positive")
+
+    local = np.arange(n) - grp_start[grp_id]
+    blk_start = np.flatnonzero(local % block_size == 0)
+    blk_end = np.empty(len(blk_start), np.int64)
+    blk_end[:-1] = blk_start[1:]
+    blk_end[-1] = n
+    blk_grp = grp_id[blk_start]
+
+    counts = blk_end - blk_start
+    max_docid = docids[blk_end - 1]
+    max_tf = np.maximum.reduceat(tfs, blk_start)
+    if doclens is not None:
+        tfnorm = tfnorm_np(tfs, doclens, float(avgdl))
+        max_tfn = np.maximum.reduceat(tfnorm, blk_start)
+    else:
+        # dl-free true upper bound (sup over dl→0) — used when the doclength
+        # array is too large to broadcast; looser pruning, same exactness
+        max_tfn = tfnorm_upper_bound(max_tf.astype(np.float64))  # broadcasts
+
+    dbuf, dlens = varint_encode(gaps.astype(np.uint64))
+    tbuf, tlens = varint_encode(tfs.astype(np.uint64))
+    doff = np.concatenate(([0], np.cumsum(dlens)))
+    toff = np.concatenate(([0], np.cumsum(tlens)))
+    dbytes = dbuf.tobytes()
+    tbytes = tbuf.tobytes()
+
+    grp_end = np.append(grp_start[1:], n)
+    df_g = grp_end - grp_start
+    cf_g = np.add.reduceat(tfs, grp_start)
+    b0 = np.searchsorted(blk_grp, np.arange(g))
+    b1 = np.append(b0[1:], len(blk_start))
+
+    out = []
+    for gi in range(g):
+        blocks = [
+            {
+                "count": int(counts[b]),
+                "max_docid": int(max_docid[b]),
+                "max_tf": int(max_tf[b]),
+                "max_tfnorm": float(max_tfn[b]),
+                "docs_bin": dbytes[doff[blk_start[b]] : doff[blk_end[b]]],
+                "tfs_bin": tbytes[toff[blk_start[b]] : toff[blk_end[b]]],
+            }
+            for b in range(b0[gi], b1[gi])
+        ]
+        out.append(
+            (terms[grp_start[gi]], int(shards[grp_start[gi]]),
+             int(df_g[gi]), int(cf_g[gi]), blocks)
+        )
+    return out
+
+
 def decode_block(
     docs_bin: bytes, tfs_bin: bytes, count: int, prev_max_docid: int
 ) -> tuple[np.ndarray, np.ndarray]:

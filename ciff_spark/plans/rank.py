@@ -36,17 +36,26 @@ def add_dense_docid(
     order_cols: list[str],
     num_partitions: int | None = None,
     docid_col: str = "docid",
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """Return ``df`` plus a dense 0..N-1 ``docid`` = rank of ``order_cols``.
+
+    ``assume_sorted=True`` skips the range shuffle entirely: the caller
+    asserts partitions are already key-ordered (partition i's keys all ≤
+    partition i+1's, sorted within) — true for generators and for Iceberg
+    tables with a matching sort order, where the shuffle would be pure waste.
 
     The result is persisted (MEMORY_AND_DISK); callers should ``unpersist()``
     it when downstream stages have materialized.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    sdf = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
-        *order_cols
-    )
+    if assume_sorted:
+        sdf = df
+    else:
+        sdf = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+            *order_cols
+        )
     sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
 
     # job 1: per-partition counts (numPartitions rows to the driver, not data)

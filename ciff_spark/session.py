@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle codec stays lz4 (default): zstd's per-stream contexts
+        # measurably regress high-thread local runs (A/B: 88s → 56s at
+        # local[32] on the 60k-conv build)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -43,7 +43,10 @@ _p = 1.0 / np.arange(1, VOCAB_SIZE + 1) ** ZIPF_S
 _ZIPF_CDF = np.cumsum(_p / _p.sum())
 
 
-def _conv_pdf(conv_index: int, seed: int) -> pd.DataFrame:
+_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _conv_rows(conv_index: int, seed: int) -> list[tuple]:
     """All turns of one conversation — pure function of (seed, conv_index)."""
     # golden-ratio seed mix, intentionally wrapping mod 2^64
     mixed = (seed * 0x9E3779B97F4A7C15 + conv_index) % (1 << 64)
@@ -51,6 +54,7 @@ def _conv_pdf(conv_index: int, seed: int) -> pd.DataFrame:
     n_turns = int(min(1 + rng.geometric(0.18), MAX_TURNS))
     rows = []
     conv_id = f"conv{conv_index:08d}"
+    base_min = conv_index * MAX_TURNS
     for t in range(n_turns):
         n_tok = int(3 + rng.integers(0, 118))
         words = _VOCAB[np.searchsorted(_ZIPF_CDF, rng.random(n_tok))]
@@ -62,25 +66,27 @@ def _conv_pdf(conv_index: int, seed: int) -> pd.DataFrame:
         ]
         is_tool = rng.random() < 0.10 and t > 0
         role = "tool" if is_tool else ("user" if t % 2 == 0 else "assistant")
+        tool = TOOLS[int(rng.integers(0, len(TOOLS)))] if is_tool else None
         rows.append(
-            {
-                "conv_id": conv_id,
-                "turn_idx": t,
-                "role": role,
-                "text": " ".join(words),
-                "tool": TOOLS[int(rng.integers(0, len(TOOLS)))] if is_tool else None,
-                "ts": BASE_TS + np.timedelta64(60 * (conv_index * MAX_TURNS + t), "s"),
-            }
+            (conv_id, t, role, " ".join(words), tool,
+             BASE_TS + np.timedelta64(60 * (base_min + t), "s"))
         )
-    return pd.DataFrame(rows)
+    return rows
+
+
+def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
 
 
 def transcripts_pdf(n_convs: int, seed: int = 42) -> pd.DataFrame:
     """Local (oracle-side) generation — identical rows to ``transcripts_df``."""
-    parts = [_conv_pdf(i, seed) for i in range(n_convs)]
-    pdf = pd.concat(parts, ignore_index=True)
-    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
-    return pdf
+    rows: list[tuple] = []
+    for i in range(n_convs):
+        rows.extend(_conv_rows(i, seed))
+    return _rows_to_pdf(rows)
 
 
 def transcripts_df(
@@ -92,8 +98,11 @@ def transcripts_df(
 
     def gen(iterator):
         for pdf in iterator:
+            rows: list[tuple] = []
             for conv_index in pdf["id"].tolist():
-                yield _conv_pdf(int(conv_index), seed)
+                rows.extend(_conv_rows(int(conv_index), seed))
+            if rows:
+                yield _rows_to_pdf(rows)
 
     return (
         spark.range(0, n_convs, numPartitions=partitions)

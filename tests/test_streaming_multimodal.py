@@ -1,0 +1,112 @@
+"""Streaming incremental-index and multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ciff_spark.multimodal import extract_features, frame_sample, media_stats, synth_media_df
+from ciff_spark.sources.transcripts import transcripts_pdf
+from ciff_spark.store import IndexStore
+from ciff_spark.streaming.incremental import (
+    SEG_DOCS,
+    SEG_POSTINGS,
+    start_incremental_index,
+    streaming_windowed_events,
+)
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    """Metamorphic: stream-ingested segments reassemble to the same inverted
+    index a cold batch build produces over the same rows."""
+    from collections import defaultdict
+
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.functions.codec import decode_postings
+
+    pdf = transcripts_pdf(20, seed=9)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # two "arrivals": conv order preserved so batch docids stay dense+sorted
+    half = len(pdf) // 2
+    # cut at a conversation boundary to keep (conv_id, turn_idx) order global
+    cut = pdf[pdf.conv_id <= pdf.iloc[half].conv_id].index.max() + 1
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1).write.parquet(str(indir / "b0"))
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1).write.parquet(str(indir / "b1"))
+
+    root = str(tmp_path / "idx_inc")
+    q = start_incremental_index(
+        spark, str(indir / "*"), root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    store = IndexStore(root)
+    segs = store.read(spark, SEG_POSTINGS).collect()
+    got = defaultdict(list)
+    for r in sorted(segs, key=lambda r: r["segment"]):
+        d, t = decode_postings([b.asDict() for b in r["blocks"]])
+        got[r["term"]].append((r["segment"], d, t))
+
+    batch_store = build_index(
+        spark.createDataFrame(pdf), str(tmp_path / "idx_batch"),
+        config=BuildConfig(n_shards=1, n_pgroups=2), resume=False,
+    )
+    exp = {}
+    for r in batch_store.read(spark, "postings").collect():
+        d, t = decode_postings([b.asDict() for b in r["blocks"]])
+        exp.setdefault(r["term"], []).append((r["shard"], d, t))
+
+    assert set(got) == set(exp)
+    for term in exp:
+        ed = np.concatenate([p[1] for p in sorted(exp[term])])
+        et = np.concatenate([p[2] for p in sorted(exp[term])])
+        gd = np.concatenate([p[1] for p in sorted(got[term], key=lambda p: p[0])])
+        gt = np.concatenate([p[2] for p in sorted(got[term], key=lambda p: p[0])])
+        np.testing.assert_array_equal(gd, ed, err_msg=term)
+        np.testing.assert_array_equal(gt, et, err_msg=term)
+    # seg docs are dense 0..N-1 overall
+    docs = store.read(spark, SEG_DOCS).orderBy("docid").collect()
+    assert [r["docid"] for r in docs] == list(range(len(pdf)))
+
+
+def test_streaming_windowed_events(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    indir = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(indir)
+    agg = streaming_windowed_events(
+        spark, indir, ev.schema.simpleString()[7:-1].replace(":", " "), gap="1 hour"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, count(*) AS windows, sum(n) AS n FROM ev_out GROUP BY event_type"
+    ).collect()
+    exp = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert {r["event_type"]: r["n"] for r in got} == exp
+
+
+def test_multimodal_pipeline(spark):
+    media = synth_media_df(spark, 30, seed=3)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(v) == 32 for v in feats["feature"])
+    norms = [float(np.linalg.norm(np.asarray(v, dtype=np.float64))) for v in feats["feature"]]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    # determinism: same seed → same features
+    feats2 = extract_features(synth_media_df(spark, 30, seed=3)).toPandas()
+    a = np.stack([np.asarray(v) for v in feats.sort_values("media_id")["feature"]])
+    b = np.stack([np.asarray(v) for v in feats2.sort_values("media_id")["feature"]])
+    np.testing.assert_array_equal(a, b)
+
+    frames = frame_sample(media, every_ms=5000)
+    fp = frames.toPandas()
+    assert set(fp["kind"]) <= {"video", "audio"}
+    assert (fp["frame_ms"] % 5000 == 0).all()
+
+    stats = media_stats(media).toPandas()
+    assert set(stats["kind"]) == {"image", "audio", "video"}
