@@ -6,11 +6,17 @@ scalability wall) with a declarative Spark pipeline:
 
   transcripts ─ add_dense_docid ─ tokenize (JVM regex / Arrow UDF)
     ├─ docs table: doclength = Σtf per doc (token count)
-    └─ explode → groupBy(term, docid) hash-agg tf (map-side partial agg)
-         → shard = docid // shard_size  (structural skew handling: a Zipf-hot
-           term's postings land in MANY (term, shard) groups, never one reducer)
-         → groupBy(term, shard) applyInPandas block-encode (Arrow-vectorized)
-         → postings table, partitioned by pgroup = hash(term) % n_pgroups
+    └─ explode → groupBy(term, docid) hash-agg tf (map-side partial combine;
+         only skinny (term, docid, tf) rows ever shuffle — doclengths are
+         broadcast into the encoder, or dl-free bounds at 10^12 scale)
+         → repartition by pgroup = hash(term) % n_pgroups, sort within
+           partitions by (term, docid)
+         → ONE vectorized Arrow pass per partition (codec.encode_many)
+           block-encodes every (term, shard) group; shard = docid//shard_size
+           is the structural skew handling: a Zipf-hot term's postings land
+           in MANY (term, shard) rows, never one reducer, and the per-term
+           merge is concatenation in shard order
+         → postings table, partitionBy(pgroup) (≈1 file per pgroup)
   docs → shard_sizes (u32 doclength arrays per shard)
   postings(df, cf columns only — blocks pruned at scan) → term_stats
   → meta (≙ CIFF Header)

@@ -1,0 +1,101 @@
+"""Direct unit tests of the interval Block-Max WAND kernel against a brute
+force scorer — including the negative-idf regime classical WAND can't handle
+and adversarial tie cases at the k boundary."""
+
+import numpy as np
+import pytest
+
+from ciff_spark.functions.codec import encode_postings
+from ciff_spark.functions.scoring import idf_np, tfnorm_np
+from ciff_spark.wand import wand_topk
+
+
+def _brute(lists, dl, start, avgdl, k):
+    scores: dict[int, float] = {}
+    for idf, blocks in lists:
+        from ciff_spark.functions.codec import decode_postings
+
+        d, tf = decode_postings(blocks)
+        contrib = idf * tfnorm_np(tf, dl[d - start], avgdl)
+        for dd, c in zip(d.tolist(), contrib.tolist()):
+            scores[dd] = scores.get(dd, 0.0) + c
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in ranked], [s for _, s in ranked]
+
+
+def _mk_list(rng, n_docs, df, max_tf, dl, avgdl, num_total, block_size):
+    docids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, max_tf + 1, df)
+    blocks = encode_postings(docids, tfs, doclens=dl[docids], avgdl=avgdl,
+                             block_size=block_size)
+    idf = float(idf_np(df, num_total))
+    return idf, blocks
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_wand_equals_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(50, 2000))
+    avgdl = 40.0
+    dl = rng.integers(5, 120, n_docs).astype(np.uint32)
+    num_total = n_docs
+    n_lists = int(rng.integers(1, 5))
+    lists = []
+    for _ in range(n_lists):
+        df = int(rng.integers(1, max(2, n_docs // int(rng.choice([1, 2, 10, 50])))))
+        lists.append(_mk_list(rng, n_docs, df, int(rng.integers(1, 8)), dl,
+                              avgdl, num_total, block_size=int(rng.choice([4, 16, 128]))))
+    k = int(rng.choice([1, 3, 10, 100]))
+    gd, gs = wand_topk(lists, dl, 0, avgdl, k)
+    ed, es = _brute(lists, dl, 0, avgdl, k)
+    assert gd.tolist() == ed
+    np.testing.assert_allclose(gs, es, atol=1e-12)
+
+
+def test_wand_negative_idf_only():
+    """All query terms hotter than N/2 → every score negative; WAND bounds
+    clamp to 0 but the result must still be the exact top-k."""
+    rng = np.random.default_rng(7)
+    n_docs = 300
+    dl = rng.integers(5, 80, n_docs).astype(np.uint32)
+    avgdl = 30.0
+    lists = [
+        _mk_list(rng, n_docs, 290, 5, dl, avgdl, n_docs, 16),
+        _mk_list(rng, n_docs, 250, 3, dl, avgdl, n_docs, 16),
+    ]
+    gd, gs = wand_topk(lists, dl, 0, avgdl, 10)
+    ed, es = _brute(lists, dl, 0, avgdl, 10)
+    assert (np.array(es) < 0).all()
+    assert gd.tolist() == ed
+    np.testing.assert_allclose(gs, es, atol=1e-12)
+
+
+def test_wand_k_larger_than_candidates():
+    rng = np.random.default_rng(3)
+    dl = rng.integers(5, 40, 50).astype(np.uint32)
+    lists = [_mk_list(rng, 50, 5, 3, dl, 20.0, 50, 4)]
+    gd, gs = wand_topk(lists, dl, 0, 20.0, 100)
+    assert len(gd) == 5  # all candidates, no padding
+
+
+def test_wand_empty_and_k0():
+    dl = np.ones(10, np.uint32)
+    d, s = wand_topk([], dl, 0, 1.0, 10)
+    assert len(d) == 0
+    rng = np.random.default_rng(0)
+    lists = [_mk_list(rng, 10, 3, 2, dl, 1.0, 10, 2)]
+    d, s = wand_topk(lists, dl, 0, 1.0, 0)
+    assert len(d) == 0
+
+
+def test_wand_exact_tie_break_by_docid():
+    """Two docs with identical (tf, dl) under one term tie exactly; ascending
+    docid must win at the k boundary."""
+    docids = np.array([3, 7, 9], np.int64)
+    tfs = np.array([2, 2, 1], np.int64)
+    dl = np.full(12, 10, np.uint32)
+    blocks = encode_postings(docids, tfs, doclens=dl[docids], avgdl=10.0, block_size=2)
+    idf = float(idf_np(3, 12))
+    gd, gs = wand_topk([(idf, blocks)], dl, 0, 10.0, 2)
+    assert gd.tolist() == [3, 7]  # 3 and 7 tie; both beat 9; order by docid
+    assert gs[0] == gs[1]
