@@ -28,12 +28,13 @@ def _all_modules():
         dedup,
         events,
         index_queries,
+        quantize,
         relational,
         simsearch,
         textquality,
     )
 
-    return (index_queries, dedup, textquality, simsearch, events, relational)
+    return (index_queries, dedup, textquality, simsearch, events, relational, quantize)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -89,6 +89,7 @@ def build_index(
     testdata ``documents.doc_id``) to skip rank assignment; validated.
     """
     cfg = config or BuildConfig()
+    pending_lineage: list[tuple] = []  # informational rows, flushed once
     spark = df.sparkSession
     store = IndexStore(out_root)
     if not resume:
@@ -128,7 +129,7 @@ def build_index(
         )
         t0 = time.time()
         store.write("docs", docs)
-        _lineage(store, spark, "docs", -1, rows=None, wall_ms=int((time.time() - t0) * 1000))
+        pending_lineage.append(("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
 
     docs = store.read(spark, "docs")
     stats = docs.agg(
@@ -277,7 +278,7 @@ def build_index(
             .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
         )
         store.write("shard_sizes", packed)
-        _lineage(store, spark, "shard_sizes", -1, wall_ms=int((time.time() - t0) * 1000))
+        pending_lineage.append(("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
 
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):
@@ -288,7 +289,7 @@ def build_index(
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
         store.write("term_stats", ts)
-        _lineage(store, spark, "term_stats", -1, wall_ms=int((time.time() - t0) * 1000))
+        pending_lineage.append(("term_stats", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
 
     # ---- stage: meta (≙ CIFF Header) ----------------------------------------
     if not store.exists("meta"):
@@ -299,6 +300,8 @@ def build_index(
         )
         store.write("meta", meta)
 
+    if pending_lineage:
+        _lineage_rows(store, spark, pending_lineage)
     if persisted is not None:
         persisted.unpersist()
     return store

@@ -121,24 +121,42 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}"""
 
 
 def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ threshold. Exact verifier; at scale the LSH
-    buckets below generate the candidates instead of the full pair join."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    emb = emb.withColumn("n", _norm(F.col("e")))
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.round(
-                _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.n") * F.col("b.n")), 6
-            ).alias("cos"),
-        )
-        .where(F.col("cos") >= NEARDUP_COS)
+    """All pairs with cosine ≥ threshold, via distributed block matrix
+    multiply: each task multiplies its row-block against the broadcast
+    normalized matrix with one BLAS gemm (2000² pairs ≈ 50 ms of numpy vs
+    ~20 s of per-pair interpreted array lambdas). At corpus scale where the
+    matrix can't broadcast, the same kernel runs over LSH-bucketed or
+    IVF-partitioned candidate blocks (lsh_hyperplane_buckets below) — the
+    row-block × block structure is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    bc = spark.sparkContext.broadcast((unit, ids))
+    thr = NEARDUP_COS
+
+    def block(iterator):
+        u, vid = bc.value
+        for p in iterator:
+            rows = p["i"].to_numpy()
+            sims = u[rows] @ u.T  # one gemm per row-block
+            for k, i in enumerate(rows):
+                cos = np.round(sims[k], 6)
+                j = np.flatnonzero((cos >= thr) & (vid > vid[i]))
+                if j.size:
+                    yield pd.DataFrame(
+                        {"v1": vid[i], "v2": vid[j], "cos": cos[j]}
+                    )
+
+    idx = spark.range(len(ids)).select(F.col("id").cast("int").alias("i"))
+    return idx.repartition(max(2, len(ids) // 512)).mapInPandas(
+        block, schema="v1 bigint, v2 bigint, cos double"
     )
 
 

@@ -31,6 +31,12 @@ def get_spark(
     master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores or (os.cpu_count() or 8)
+    # Arrow-UDF stages co-schedule one Python worker per JVM task — a task
+    # really occupies ~2 CPUs. At high thread counts scheduling 1 task/CPU
+    # oversubscribes and measurably regresses (local[32]: 8.2k → 14k turns/s
+    # with task.cpus=2 on the bench build); below 16 threads the slack
+    # covers it.
+    task_cpus = "2" if (cores or os.cpu_count() or 8) >= 16 else "1"
 
     builder = (
         SparkSession.builder.master(master)
@@ -41,9 +47,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.task.cpus", task_cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill on tmpfs: emulates per-executor local NVMe — the
+        # sandbox's single /tmp device otherwise serializes all executors'
+        # shuffle I/O through one queue
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/ciff_spark_local"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         # shuffle codec stays lz4 (default): zstd's per-stream contexts
         # measurably regress high-thread local runs (A/B: 88s → 56s at
