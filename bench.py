@@ -119,6 +119,20 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
     queries["bm25_wand_p95_sec"] = round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 4)
     log(f"wand single-query p50={queries['bm25_wand_p50_sec']}s p95={queries['bm25_wand_p95_sec']}s")
 
+    # serving path: LocalSearcher (pyarrow + WAND kernel, no Spark job)
+    from ciff_spark.serve import LocalSearcher
+
+    searcher = LocalSearcher(index_root_for(sf_dir))
+    searcher.search("dup batch", k=10)  # warm mmap/stats
+    slats = []
+    for _, qtext in batch:
+        s, _ = _timed(lambda q=qtext: searcher.search(q, k=10))
+        slats.append(s)
+    slats.sort()
+    queries["bm25_serve_p50_ms"] = round(slats[len(slats) // 2] * 1000, 2)
+    queries["bm25_serve_p95_ms"] = round(slats[int(len(slats) * 0.95)] * 1000, 2)
+    log(f"local serve p50={queries['bm25_serve_p50_ms']}ms p95={queries['bm25_serve_p95_ms']}ms")
+
     # 4. operator families (one action each)
     singles = {
         "bm25_relational_mix": lambda: index_queries.QUERIES["bm25_rel_mix"][0](spark, sf_dir).count(),
@@ -137,7 +151,9 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
         log(f"{name}: {sec:.2f}s ({n} rows)")
 
     spark.stop()
-    total = round(sum(v for k, v in queries.items() if not k.endswith("_avg")), 3)
+    # total = operator walls only (derived latency stats are not additive)
+    skip = ("_avg", "_ms", "_p50_sec", "_p95_sec")
+    total = round(sum(v for k, v in queries.items() if not k.endswith(skip)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)

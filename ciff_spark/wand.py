@@ -46,8 +46,13 @@ def wand_topk(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
-    lists: [(idf, blocks)] per query term present in this shard;
-    dl: uint32 doclengths for the shard's dense docid range starting at
+    lists: [(idf, blocks)] or [(idf, blocks, decode_prevs)] per query term.
+    ``decode_prevs`` (int64, one per block) overrides the decode base of each
+    block — required when a list is assembled by concatenating a term's
+    SHARDS, because each shard's first block was gap-encoded relative to −1,
+    not to the previous shard's last docid. Without it, blocks chain via the
+    previous block's max_docid (single-shard lists).
+    dl: uint32 doclengths for the dense docid range starting at
     ``start_docid``. Returns (docids, scores) sorted by (-score, docid).
     """
     if not lists or k <= 0:
@@ -55,7 +60,8 @@ def wand_topk(
 
     # block geometry: per list, arrays of lo/hi/bound (+ prev_max for decode)
     los, his, bounds, prevs = [], [], [], []
-    for idf, blocks in lists:
+    lists = [entry if len(entry) == 3 else (*entry, None) for entry in lists]
+    for idf, blocks, decode_prevs in lists:
         hi = np.array([b["max_docid"] for b in blocks], np.int64)
         lo = np.empty_like(hi)
         lo[0] = 0
@@ -64,7 +70,10 @@ def wand_topk(
         los.append(lo)
         his.append(hi)
         bounds.append(np.maximum(idf * mtf, 0.0))
-        prevs.append(np.concatenate(([np.int64(-1)], hi[:-1])))
+        if decode_prevs is not None:
+            prevs.append(np.asarray(decode_prevs, np.int64))
+        else:
+            prevs.append(np.concatenate(([np.int64(-1)], hi[:-1])))
 
     # intervals: refinement of all block boundaries
     pts = np.unique(np.concatenate([np.concatenate((lo, hi + 1)) for lo, hi in zip(los, his)]))
@@ -88,7 +97,7 @@ def wand_topk(
         s, e = int(starts[t]), int(ends[t])
         acc_docids: list[np.ndarray] = []
         acc_contrib: list[np.ndarray] = []
-        for i, (idf, blocks) in enumerate(lists):
+        for i, (idf, blocks, _dp) in enumerate(lists):
             j = int(np.searchsorted(his[i], s))
             if j >= len(his[i]) or los[i][j] > s:
                 continue  # no block of list i covers this interval

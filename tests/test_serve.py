@@ -1,0 +1,56 @@
+"""LocalSearcher: rank-identity with the oracle + latency sanity.
+
+Multi-shard indexes are the interesting case — a term's list is assembled by
+concatenating shard blocks whose first gaps were encoded from −1."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ciff_spark.build import BuildConfig, build_index
+from ciff_spark.serve import LocalSearcher
+from ciff_spark.sources.transcripts import transcripts_df, transcripts_pdf
+from oracle import OracleIndex
+
+QUERIES = [
+    "w000001",
+    "w000000 w000123",
+    "w000777 w000001 w004321",
+    "zzzz absent",
+    "w000002 w000003 w000004 w000005",
+]
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve") / "idx")
+    df = transcripts_df(spark, 35, seed=13, partitions=4)
+    build_index(
+        df, root,
+        config=BuildConfig(n_shards=5, n_pgroups=4, block_size=16),
+        resume=False,
+    )
+    oracle = OracleIndex.build(transcripts_pdf(35, seed=13))
+    return LocalSearcher(root), oracle
+
+
+def test_local_search_matches_oracle(served):
+    searcher, oracle = served
+    for q in QUERIES:
+        got = searcher.search(q, k=10)
+        exp = oracle.topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-9), q
+
+
+def test_local_search_latency(served):
+    searcher, _ = served
+    searcher.search("w000001 w000002", k=10)  # warm
+    t0 = time.time()
+    n = 50
+    for _ in range(n):
+        searcher.search("w000001 w000777", k=10)
+    per = (time.time() - t0) / n
+    # no Spark job in the loop: must be interactive-grade
+    assert per < 0.25, f"{per * 1000:.1f} ms per query"
