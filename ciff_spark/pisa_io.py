@@ -1,0 +1,215 @@
+"""PISA canonical uncompressed index interop — the reference's second data
+model and its conversion target (SURVEY §1.2).
+
+File family derived from one base path (≙ PisaPaths,
+/root/reference/src/lib.rs:327-338):
+
+  .docs       binary collection; FIRST sequence is the singleton [num_docs]
+              (/root/reference/src/lib.rs:500), then one docid sequence per
+              term in .terms order
+  .freqs      one tf sequence per term, positionally aligned with .docs
+  .sizes      one sequence of num_docs doclengths
+  .terms      newline-delimited term strings (lexicographic)
+  .documents  newline-delimited external doc ids
+  .termlex /  payload-vector lexicons over .terms / .documents:
+  .doclex     [u64 count][count+1 u64 offsets][concatenated payload bytes]
+              (/root/reference/src/payload_vector.rs:36-61)
+
+A *binary collection* is a series of sequences, each `[u32 len][len × u32]`
+little-endian (/root/reference/src/binary_collection.rs:32-35). All encode/
+decode here is NumPy-vectorized. These are local exchange files (like
+ciff_io) — the distributed store remains the Parquet/Iceberg layout.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# binary collection
+# ---------------------------------------------------------------------------
+
+def encode_u32_sequence(values) -> bytes:
+    v = np.ascontiguousarray(values, dtype="<u4")
+    return struct.pack("<I", v.size) + v.tobytes()
+
+
+def iter_binary_collection(buf: bytes):
+    """Yield u32 arrays, one per length-prefixed sequence."""
+    mv = memoryview(buf)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        (ln,) = struct.unpack_from("<I", mv, pos)
+        pos += 4
+        yield np.frombuffer(mv, dtype="<u4", count=ln, offset=pos).copy()
+        pos += 4 * ln
+
+
+# ---------------------------------------------------------------------------
+# payload vector (lexicon)
+# ---------------------------------------------------------------------------
+
+def build_lexicon(strings: list[str]) -> bytes:
+    payloads = [s.encode() for s in strings]
+    offsets = np.zeros(len(payloads) + 1, dtype="<u8")
+    np.cumsum([len(p) for p in payloads], out=offsets[1:])
+    return (
+        struct.pack("<Q", len(payloads)) + offsets.tobytes() + b"".join(payloads)
+    )
+
+
+def read_lexicon(buf: bytes) -> list[str]:
+    (count,) = struct.unpack_from("<Q", buf, 0)
+    offsets = np.frombuffer(buf, dtype="<u8", count=count + 1, offset=8)
+    base = 8 + 8 * (count + 1)
+    return [
+        buf[base + int(offsets[i]) : base + int(offsets[i + 1])].decode()
+        for i in range(count)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# whole-index write/read
+# ---------------------------------------------------------------------------
+
+def write_pisa(
+    base: str,
+    terms: list[str],
+    postings: dict[str, tuple[np.ndarray, np.ndarray]],
+    sizes: np.ndarray,
+    titles: list[str],
+    lexicons: bool = True,
+) -> None:
+    """terms must be lexicographically sorted (the reference re-sorts
+    otherwise, src/lib.rs:556-558 — we enforce instead of silently fixing)."""
+    if terms != sorted(terms):
+        raise ValueError("terms must be lexicographically sorted")
+    with open(f"{base}.docs", "wb") as fd, open(f"{base}.freqs", "wb") as ff:
+        fd.write(encode_u32_sequence([len(sizes)]))  # singleton header seq
+        for t in terms:
+            d, tf = postings[t]
+            fd.write(encode_u32_sequence(d))
+            ff.write(encode_u32_sequence(tf))
+    with open(f"{base}.sizes", "wb") as fs:
+        fs.write(encode_u32_sequence(sizes))
+    with open(f"{base}.terms", "w") as ft:
+        ft.writelines(t + "\n" for t in terms)
+    with open(f"{base}.documents", "w") as fdoc:
+        fdoc.writelines(t + "\n" for t in titles)
+    if lexicons:
+        with open(f"{base}.termlex", "wb") as f:
+            f.write(build_lexicon(terms))
+        with open(f"{base}.doclex", "wb") as f:
+            f.write(build_lexicon(titles))
+
+
+def read_pisa(base: str):
+    """Returns (terms, postings {term: (docids, tfs)}, sizes, titles)."""
+    docs_seqs = list(iter_binary_collection(open(f"{base}.docs", "rb").read()))
+    freq_seqs = list(iter_binary_collection(open(f"{base}.freqs", "rb").read()))
+    header, doc_seqs = docs_seqs[0], docs_seqs[1:]
+    terms = open(f"{base}.terms").read().splitlines()
+    titles = open(f"{base}.documents").read().splitlines()
+    (sizes,) = iter_binary_collection(open(f"{base}.sizes", "rb").read())
+    if header.size != 1 or int(header[0]) != sizes.size:
+        raise ValueError(f".docs header {header} != num_docs {sizes.size}")
+    if not (len(terms) == len(doc_seqs) == len(freq_seqs)):
+        raise ValueError("terms/.docs/.freqs misaligned")
+    postings = {
+        t: (d.astype(np.int64), f.astype(np.int64))
+        for t, d, f in zip(terms, doc_seqs, freq_seqs)
+    }
+    return terms, postings, sizes.astype(np.int64), titles
+
+
+# ---------------------------------------------------------------------------
+# conversions (≙ the reference's three binaries)
+# ---------------------------------------------------------------------------
+
+def ciff_file_to_pisa(ciff_path: str, base: str) -> None:
+    """≙ ciff2pisa (/root/reference/src/ciff2pisa.rs): gap-decode postings,
+    split into parallel .docs/.freqs columns, emit sizes/titles/lexicons."""
+    from ciff_spark.ciff_io import read_ciff
+
+    header, pls, recs = read_ciff(ciff_path)
+    terms = [p.term for p in pls]
+    if terms != sorted(terms):  # reference reorders; exchange path enforces
+        order = sorted(range(len(terms)), key=lambda i: terms[i])
+        pls = [pls[i] for i in order]
+        terms = [p.term for p in pls]
+    postings = {}
+    for p in pls:
+        gaps = np.array([g for g, _ in p.postings], np.int64)
+        tfs = np.array([t for _, t in p.postings], np.int64)
+        postings[p.term] = (np.cumsum(gaps), tfs)
+    sizes = np.array([r.doclength for r in recs], np.int64)
+    titles = [r.collection_docid for r in recs]
+    write_pisa(base, terms, postings, sizes, titles)
+
+
+def pisa_to_ciff_file(base: str, ciff_path: str, description: str = "") -> None:
+    """≙ pisa2ciff (/root/reference/src/pisa2ciff.rs): re-gap docids, compute
+    df/cf per list and header stats from sizes."""
+    from ciff_spark.ciff_io import (
+        CiffDocRecord,
+        CiffHeader,
+        CiffPostingsList,
+        write_ciff,
+    )
+
+    terms, postings, sizes, titles = read_pisa(base)
+    pls = []
+    for t in terms:
+        d, tf = postings[t]
+        gaps = np.diff(np.concatenate(([0], d)))
+        pls.append(
+            CiffPostingsList(
+                term=t, df=len(d), cf=int(tf.sum()),
+                postings=list(zip(gaps.tolist(), tf.tolist())),
+            )
+        )
+    total_terms = int(sizes.sum())
+    header = CiffHeader(
+        version=1,
+        num_postings_lists=len(pls), num_docs=len(sizes),
+        total_postings_lists=len(pls), total_docs=len(sizes),
+        total_terms_in_collection=total_terms,
+        average_doclength=total_terms / len(sizes) if len(sizes) else 0.0,
+        description=description,
+    )
+    recs = [
+        CiffDocRecord(docid=i, collection_docid=titles[i], doclength=int(sizes[i]))
+        for i in range(len(sizes))
+    ]
+    write_ciff(ciff_path, header, pls, recs)
+
+
+def export_index_to_pisa(spark, index_root: str, base: str, id_sep: str = "/") -> None:
+    """Distributed index → PISA canonical files (terms lex-ordered, shards
+    concatenated in shard order)."""
+    from collections import defaultdict
+
+    from ciff_spark.functions.codec import decode_postings
+    from ciff_spark.store import IndexStore
+
+    store = IndexStore(index_root)
+    docs = store.read(spark, "docs").orderBy("docid").collect()
+    id_cols = [c for c in docs[0].asDict() if c not in ("docid", "doclength")] if docs else []
+    sizes = np.array([r["doclength"] for r in docs], np.int64)
+    titles = [id_sep.join(str(r[c]) for c in id_cols) for r in docs]
+
+    acc: dict[str, list] = defaultdict(list)
+    for r in store.read(spark, "postings").orderBy("term", "shard").collect():
+        acc[r["term"]].append(decode_postings([b.asDict() for b in r["blocks"]]))
+    postings = {
+        t: (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+        for t, parts in acc.items()
+    }
+    write_pisa(base, sorted(postings), postings, sizes, titles)

@@ -1,0 +1,102 @@
+"""PISA canonical format interop: the reference's own golden flow —
+toy CIFF → PISA files → CIFF must be a fixed point (tests/toy.rs:89-143) —
+plus lexicon/binary-collection unit round-trips and export-from-index."""
+
+import numpy as np
+import pytest
+
+from ciff_spark.ciff_io import read_ciff
+from ciff_spark.pisa_io import (
+    build_lexicon,
+    ciff_file_to_pisa,
+    encode_u32_sequence,
+    export_index_to_pisa,
+    iter_binary_collection,
+    pisa_to_ciff_file,
+    read_lexicon,
+    read_pisa,
+    write_pisa,
+)
+
+TOY = "/root/reference/tests/test_data/toy-complete-20200309.ciff"
+
+
+def test_binary_collection_roundtrip():
+    seqs = [np.array([3], "<u4"), np.array([], "<u4"), np.arange(100, dtype="<u4")]
+    buf = b"".join(encode_u32_sequence(s) for s in seqs)
+    out = list(iter_binary_collection(buf))
+    assert len(out) == 3
+    for a, b in zip(seqs, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_lexicon_roundtrip():
+    strings = ["", "a", "alpha", "β-unicode", "z" * 1000]
+    assert read_lexicon(build_lexicon(strings)) == strings
+    # layout spot-check: count, then count+1 offsets (payload_vector.rs:36-61)
+    buf = build_lexicon(["ab", "c"])
+    assert buf[:8] == (2).to_bytes(8, "little")
+    assert np.frombuffer(buf, "<u8", 3, 8).tolist() == [0, 2, 3]
+
+
+def test_toy_ciff_pisa_ciff_fixed_point(tmp_path):
+    """The reference's round-trip golden test, run through OUR converters."""
+    base = str(tmp_path / "toy")
+    ciff_file_to_pisa(TOY, base)
+
+    terms, postings, sizes, titles = read_pisa(base)
+    assert len(terms) == 9 and sizes.sum() == 16
+    assert titles == ["WSJ_1", "TREC_DOC_1", "DOC222"]
+
+    out = str(tmp_path / "roundtrip.ciff")
+    pisa_to_ciff_file(base, out, description="roundtrip")
+    h1, p1, d1 = read_ciff(TOY)
+    h2, p2, d2 = read_ciff(out)
+    assert (h2.num_postings_lists, h2.num_docs, h2.total_terms_in_collection) == (
+        h1.num_postings_lists, h1.num_docs, h1.total_terms_in_collection,
+    )
+    assert h2.average_doclength == pytest.approx(h1.average_doclength)
+    assert d1 == d2
+    for a, b in zip(p1, p2):
+        assert (a.term, a.df, a.cf) == (b.term, b.df, b.cf)
+        assert a.postings == b.postings  # identical gaps + tfs
+
+
+def test_pisa_rejects_unsorted_terms(tmp_path):
+    with pytest.raises(ValueError, match="sorted"):
+        write_pisa(
+            str(tmp_path / "x"), ["b", "a"],
+            {"b": (np.array([0]), np.array([1])), "a": (np.array([0]), np.array([1]))},
+            np.array([1]), ["d0"],
+        )
+
+
+def test_export_index_to_pisa(spark, tmp_path):
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 10, seed=17, partitions=2)
+    root = str(tmp_path / "idx")
+    store = build_index(df, root, config=BuildConfig(n_shards=3, n_pgroups=2), resume=False)
+    base = str(tmp_path / "pisa")
+    export_index_to_pisa(spark, root, base)
+
+    terms, postings, sizes, titles = read_pisa(base)
+    meta = store.meta(spark)
+    assert len(sizes) == meta["num_docs"]
+    assert len(terms) == meta["num_terms"]
+    assert int(sizes.sum()) == meta["total_terms"]
+    assert terms == sorted(terms)
+    # postings agree with the index's own decode
+    from ciff_spark.functions.codec import decode_postings
+
+    for r in store.read(spark, "postings").collect():
+        d, tf = decode_postings([b.asDict() for b in r["blocks"]])
+        pd_, pt = postings[r["term"]]
+        # shard slice must appear within the term's full list
+        pos = np.searchsorted(pd_, d[0])
+        np.testing.assert_array_equal(pd_[pos : pos + len(d)], d)
+        np.testing.assert_array_equal(pt[pos : pos + len(d)], tf)
+    # lexicons readable and aligned
+    assert read_lexicon(open(f"{base}.termlex", "rb").read()) == terms
+    assert read_lexicon(open(f"{base}.doclex", "rb").read()) == titles
