@@ -284,7 +284,7 @@ def build_index(
     if not store.exists("term_stats"):
         t0 = time.time()
         ts = (
-            store.read(spark, "postings")
+            store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int")
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )

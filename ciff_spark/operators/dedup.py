@@ -279,10 +279,41 @@ FROM bits GROUP BY docid
 """
 
 
+SIMHASH_MAX_HAMMING = 2
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by SimHash hamming distance ≤ t. At this scale an
+    all-pairs check; the 100 TB path buckets on hash bands (split the 16 bits
+    into t+1 bands — any pair within distance t shares ≥ one exact band) and
+    joins per band, same as the MinHash LSH above."""
+    sh = dedup_simhash(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.docid") < F.col("b.docid"))
+        .select(
+            F.col("a.docid").alias("d1"),
+            F.col("b.docid").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sh AS ({DEDUP_SIMHASH_SQL})
+SELECT a.docid AS d1, b.docid AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.docid < b.docid
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_signatures": (dedup_minhash_signatures, DEDUP_MINHASH_SQL),
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
 }

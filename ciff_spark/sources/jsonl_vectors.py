@@ -1,0 +1,189 @@
+"""JSONL doc-vector ingest — the reference's jsonl2ciff build path
+(/root/reference/src/lib.rs:885-1146), distributed.
+
+Input: one JSON doc per line, ``{id: string|int, content?: string,
+vector: {token: score}}`` (JsonDoc, /root/reference/src/lib.rs:842-857).
+Reference semantics honored:
+
+- external ids map to dense internal docids in FIRST-SEEN order; repeated
+  ids accumulate into the same docid (/root/reference/src/lib.rs:1014-1022).
+  Distributed: first-seen = min row position in file-concatenation order
+  (``monotonically_increasing_id`` over ordered text splits), then a dense
+  rank over that minimum — no driver-resident id map;
+- scores are truncated to int, or min-max quantized to [1,255] over the
+  positive range found in a first pass (ScoreQuantizer,
+  /root/reference/src/lib.rs:87-148; range pass src/lib.rs:922-957);
+- postings with tf ≤ 0 are dropped (/root/reference/src/lib.rs:1039-1041);
+- doclength: the reference counts UNIQUE kept terms here, not Σtf — the
+  documented quirk (src/lib.rs:1029-1046, SURVEY §1.3). ``doclength_mode``
+  selects ``"unique_terms"`` (reference parity) or ``"sum_tf"`` (the BM25
+  pin used by the text pipeline); default is reference parity since this
+  path exists for exchange fidelity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ciff_spark.functions.codec import encode_many
+from ciff_spark.store import META_SCHEMA, IndexStore
+
+JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("vector", T.MapType(T.StringType(), T.DoubleType())),
+    ]
+)
+
+
+def read_doc_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """(ext_id, pos, term, score) rows; pos = file-order row position."""
+    raw = (
+        spark.read.schema(JSONL_SCHEMA)
+        .json(path)
+        .withColumn("pos", F.monotonically_increasing_id())
+    )
+    return raw.select(
+        F.col("id").cast("string").alias("ext_id"),
+        "pos",
+        F.explode("vector").alias("term", "score"),
+    )
+
+
+def quantize_scores(df: DataFrame, quantize: bool) -> DataFrame:
+    """score → integer tf per the reference: plain int truncation, or 8-bit
+    min-max over positive scores; tf ≤ 0 rows dropped either way."""
+    if not quantize:
+        return df.withColumn("tf", F.col("score").cast("long")).where(F.col("tf") > 0)
+    rng = df.where(F.col("score") > 0).agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "tf",
+            F.when(F.col("score") <= 0, F.lit(0))
+            .when(F.col("hi") == F.col("lo"), F.lit(1))
+            .otherwise(
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(1),
+                        (F.round((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254) + 1).cast("long"),
+                    ),
+                )
+            ),
+        )
+        .where(F.col("tf") > 0)
+        .drop("lo", "hi")
+    )
+
+
+def build_index_from_doc_vectors(
+    spark: SparkSession,
+    jsonl_path: str,
+    out_root: str,
+    quantize: bool = False,
+    doclength_mode: str = "unique_terms",
+    n_shards: int = 8,
+    n_pgroups: int = 16,
+    block_size: int = 128,
+) -> IndexStore:
+    store = IndexStore(out_root)
+    store.drop()
+
+    rows = read_doc_vectors(spark, jsonl_path)
+    rows = quantize_scores(rows, quantize)
+
+    # first-seen dense docid: rank external ids by min(pos). The distinct-id
+    # set is orders smaller than the postings; a rank window over it is fine
+    # up to ~10^8 ids per partition-range (two-phase rank drops in above that)
+    ids = rows.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
+    w = Window.orderBy("first_pos", "ext_id")
+    idmap = ids.withColumn("docid", F.row_number().over(w) - 1).drop("first_pos")
+
+    tf = (
+        rows.join(idmap, "ext_id")
+        .groupBy("term", "docid")
+        .agg(F.sum("tf").cast("long").alias("tf"))  # repeated ids accumulate
+        .where(F.col("tf") > 0)
+    )
+
+    if doclength_mode == "unique_terms":  # the reference quirk (lib.rs:1042)
+        dlen = tf.groupBy("docid").agg(F.count("*").alias("doclength"))
+    elif doclength_mode == "sum_tf":
+        dlen = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("doclength"))
+    else:
+        raise ValueError(doclength_mode)
+    docs = idmap.join(dlen, "docid", "left").select(
+        "docid", "ext_id", F.coalesce("doclength", F.lit(0)).cast("int").alias("doclength")
+    )
+    store.write("docs", docs)
+
+    stats = docs.agg(F.count("*").alias("n"), F.sum("doclength").alias("t")).first()
+    num_docs, total_terms = int(stats["n"]), int(stats["t"] or 0)
+    avgdl = total_terms / num_docs if num_docs else 0.0
+    shard_size = max(1, -(-num_docs // n_shards))
+
+    def encode_partition(iterator):
+        pdfs = [p for p in iterator if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows_ = encode_many(
+            pdf["term"].to_numpy(),
+            pdf["docid"].to_numpy() // shard_size,
+            pdf["docid"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            None,  # impact-style scores: dl-free bounds
+            avgdl or 1.0,
+            block_size,
+        )
+        yield pd.DataFrame(rows_, columns=["term", "shard", "df", "cf", "blocks"])
+
+    from ciff_spark.build import POSTINGS_SCHEMA
+
+    enc = (
+        tf.withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
+        .repartition(n_pgroups, "pgroup")
+        .sortWithinPartitions("pgroup", "term", "docid")
+        .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+        .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
+    )
+    enc.write.mode("overwrite").partitionBy("pgroup").parquet(store.path("postings"))
+
+    def pack_shard(key, pdf):
+        (shard,) = key
+        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+        dls = pdf["doclength"].to_numpy()[order].astype("<u4")
+        start = int(shard) * shard_size
+        return pd.DataFrame(
+            [{"shard": int(shard), "start_docid": start, "count": len(dls),
+              "dl_bin": dls.tobytes()}]
+        )
+
+    store.write(
+        "shard_sizes",
+        docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(pack_shard, schema="shard int, start_docid bigint, count int, dl_bin binary"),
+    )
+    ts = store.read_or_empty(spark, "postings", POSTINGS_SCHEMA).groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    store.write("term_stats", ts)
+    num_terms = store.read(spark, "term_stats").count()
+    store.write(
+        "meta",
+        spark.createDataFrame(
+            [(num_docs, num_terms, total_terms, avgdl, shard_size, block_size,
+              f"jsonl doc-vector ingest of {jsonl_path} (quantize={quantize}, doclength={doclength_mode})")],
+            META_SCHEMA,
+        ),
+    )
+    return store

@@ -78,6 +78,16 @@ class IndexStore:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
 
+    def read_or_empty(self, spark: SparkSession, table: str, schema: str) -> DataFrame:
+        """Schema-explicit read that tolerates an empty/fileless table dir
+        (a valid state for e.g. postings of a corpus whose every posting was
+        filtered out)."""
+        import glob
+
+        if glob.glob(f"{self.path(table)}/**/*.parquet", recursive=True):
+            return spark.read.schema(schema).parquet(self.path(table))
+        return spark.createDataFrame([], schema)
+
     def drop(self) -> None:
         if os.path.isdir(self.root):
             shutil.rmtree(self.root)
