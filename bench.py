@@ -248,7 +248,55 @@ bench JSON for absolute-throughput context.
 Config: shuffle.partitions = cores, rank_partitions = 2×cores,
 n_pgroups = max(32, 2×cores), AQE on, lz4 shuffle codec (zstd A/B-tested
 and rejected: 88s vs 56s at local[32]). Reproduce:
-`python bench.py --scaling --convs {n_convs}`.
+`python bench.py --scaling --convs {n_convs} --pair {lo},{hi}`.
+
+### Methodology notes (what makes the measurement honest)
+
+- **CPU pinning**: each leg runs under `taskset -c 0..N-1`, so the whole
+  process tree (JVM task threads, GC, Python/Arrow workers) shares exactly
+  N CPUs — bare `local[N]` lets helper threads spill onto idle host cores
+  and silently inflates the low-N leg (unpinned 1→4 measured a misleading
+  0.66).
+- **Staged input**: the corpus is materialized once as a Parquet table
+  (untimed) and the timed job reads it — the north-rule input is an existing
+  Iceberg table; charging the build for synthesizing its own input (a
+  Python-bound generator) distorts both absolute and relative numbers.
+- **tmpfs shuffle dirs** (`spark.local.dir=/dev/shm/...`): emulates
+  per-executor local NVMe; the sandbox's single /tmp device otherwise
+  serializes all "executors'" shuffle I/O through one queue.
+
+### Absolute throughput (same staged 655k-turn input, unpinned, final code)
+
+| threads | turns/s | note |
+| --- | --- | --- |
+| local[16] | ~17,700 | |
+| local[32] (task.cpus=2) | ~18,100 | an Arrow task ≈ JVM thread + Python worker ⇒ 2 CPUs/task; with task.cpus=1 local[32] collapses to ~8,200 |
+
+Earlier unpinned thread-scaling curve (generator-included job, pre-Arrow
+encoder, shown for the host saturation shape): 1: 3,076 · 2: 4,633 ·
+4: 8,131 · 8: 9,845 · 16: 11,028 · 32: 5,523 turns/s.
+
+### Single-node comparison (vocabulary-scale experiment)
+
+The Rust reference cannot be compiled here (no crates.io access), so the
+pytest oracle — an in-memory dict indexer, the same design as the
+reference's jsonl2ciff (two process-wide HashMaps) — stands in as the
+single-node engine. `python bench.py --vocab-exp 2000000 --convs 50000`:
+at 328k turns / 1.08M distinct terms the single-node indexer does ~17.2k
+turns/s vs the engine's ~10.7k at 16 cores. At these corpus sizes a single
+in-memory dict is simply fast; its design holds the ENTIRE index in process
+memory (the reference's documented scalability wall) and has no persistence,
+shuffle, checkpointing, or failure story. The engine's numbers include
+writing the full compressed, resumable index; its capacity argument is the
+0.8+ N→4N scaling efficiency above — at the 10^12-turn design point the
+index is tens of TB, two orders of magnitude past any single node's RAM.
+
+### Query latency & operator walls
+
+See `BENCH_r1.json` (`python bench.py` at sf0.1): LocalSearcher serving
+p50 ≈ 15-20 ms/query (pyarrow + WAND kernel, no Spark job); per-Spark-job
+WAND p50 ≈ 0.6-0.7 s; batched 20-query WAND ≈ 1.4 s; walls for the dedup /
+simsearch / quality / sessionization / relational operator families.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -273,14 +321,74 @@ def run_build_only(n_convs: int) -> None:
     print(json.dumps({"build_sec": sec, "turns": turns, "turns_per_sec": turns / sec, "cores": cores}))
 
 
+def run_vocab_experiment(n_convs: int, vocab_size: int) -> None:
+    """Single-node (reference-style in-memory dict indexer) vs the engine at a
+    REALISTIC term cardinality. The 10k-word parity corpus is degenerate —
+    one small dict absorbs it at L2 speed, exactly the design whose memory
+    ceiling motivates the distributed build. With millions of terms the
+    dict/hash path degrades; the engine's sort-based columnar encode doesn't.
+    (The Rust reference itself cannot be compiled here — no crates.io access —
+    so the pytest oracle stands in as the single-node engine.)"""
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle import OracleIndex
+
+    from ciff_spark import get_spark
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.sources.transcripts import transcripts_df, transcripts_pdf
+
+    cores = 16
+    spark = get_spark("vocab-exp", cores=cores, shuffle_partitions=cores)
+    spark.range(10).count()
+    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").count()
+
+    path = f"/tmp/ciff_bench_data/transcripts_v{vocab_size}_{n_convs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        transcripts_df(spark, n_convs, seed=42, partitions=32, vocab_size=vocab_size).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+
+    t0 = time.time()
+    store = build_index(
+        df, f"/tmp/ciff_vexp_idx_{vocab_size}",
+        config=BuildConfig(n_shards=cores, n_pgroups=cores * 2, rank_partitions=cores * 2),
+        resume=False,
+    )
+    eng_sec = time.time() - t0
+    meta = store.meta(spark)
+    turns = int(meta["num_docs"])
+    spark.stop()
+
+    pdf = transcripts_pdf(n_convs, seed=42, vocab_size=vocab_size)
+    t0 = time.time()
+    oracle = OracleIndex.build(pdf)
+    orc_sec = time.time() - t0
+    assert oracle.num_docs == turns
+
+    out = {
+        "vocab_size": vocab_size, "turns": turns,
+        "num_terms": int(meta["num_terms"]),
+        "engine_sec_16c": round(eng_sec, 1),
+        "engine_turns_per_sec": round(turns / eng_sec, 1),
+        "single_node_sec": round(orc_sec, 1),
+        "single_node_turns_per_sec": round(turns / orc_sec, 1),
+        "speedup": round(orc_sec / eng_sec, 2),
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--stage-only", action="store_true")
+    ap.add_argument("--vocab-exp", type=int, default=0, help="run the vocabulary-scale experiment with this vocab size")
     ap.add_argument("--pair", default="2,8", help="N,4N core pair for --scaling")
     ap.add_argument("--convs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000")))
     args = ap.parse_args()
+    if args.vocab_exp:
+        run_vocab_experiment(args.convs, args.vocab_exp)
+        return
     if args.stage_only:
         from ciff_spark import get_spark
 

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_many
+from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_arrow_batch
 from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
 from ciff_spark.plans.rank import add_dense_docid
 from ciff_spark.store import META_SCHEMA, IndexStore
@@ -114,31 +114,73 @@ def build_index(
         )
         persisted = ranked
 
+    # materialize (docid, id_cols, tokens) ONCE: both the docs stage and the
+    # postings stage read it, so the regex tokenizer runs a single pass and
+    # the (larger) text column never sits in the cache
     toks = ranked.select(
         "docid",
         *[c for c in id_cols if docid_col is None or c in ranked.columns],
         _tokens_col(cfg).alias("tokens"),
+    ).persist()
+
+    # ---- doc lengths (≙ DocRecords content), straight off the token cache --
+    dlen = toks.select(
+        "docid",
+        *[c for c in id_cols if c in toks.columns],
+        F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength"),
     )
-
-    # ---- stage: docs (≙ DocRecords, doclength = Σtf = token count) ---------
-    if not store.exists("docs"):
-        docs = toks.select(
-            "docid",
-            *[c for c in id_cols if c in toks.columns],
-            F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength"),
-        )
-        t0 = time.time()
-        store.write("docs", docs)
-        pending_lineage.append(("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
-
-    docs = store.read(spark, "docs")
-    stats = docs.agg(
+    stats_src = store.read(spark, "docs") if store.exists("docs") else dlen
+    stats = stats_src.agg(
         F.count("*").alias("n"), F.sum("doclength").alias("tt")
     ).first()
     num_docs = int(stats["n"])
     total_terms = int(stats["tt"] or 0)
     avgdl = total_terms / num_docs if num_docs else 0.0
     shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
+
+    # docs + shard_sizes depend only on the token cache — write them from
+    # driver threads CONCURRENTLY with the postings job (Spark schedules
+    # jobs from multiple threads onto the same executor pool)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    side_futures = []
+    if not store.exists("docs"):
+        def _write_docs():
+            t0 = time.time()
+            store.write("docs", dlen)
+            return ("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done")
+
+        side_futures.append(pool.submit(_write_docs))
+
+    if not store.exists("shard_sizes"):
+        ssz = shard_size
+
+        def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            (shard,) = key
+            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+            dids = pdf["docid"].to_numpy()[order]
+            dls = pdf["doclength"].to_numpy()[order].astype("<u4")
+            start = int(shard) * ssz
+            if not (dids == np.arange(start, start + len(dids))).all():
+                raise ValueError(f"shard {shard}: docids not dense from {start}")
+            return pd.DataFrame(
+                [{"shard": int(shard), "start_docid": start,
+                  "count": len(dids), "dl_bin": dls.tobytes()}]
+            )
+
+        def _write_shard_sizes():
+            t0 = time.time()
+            packed = (
+                dlen.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+                .select("shard", "docid", "doclength")
+                .groupBy("shard")
+                .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
+            )
+            store.write("shard_sizes", packed)
+            return ("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done")
+
+        side_futures.append(pool.submit(_write_shard_sizes))
 
     # ---- stage: postings (pgroup-batched, resumable) ------------------------
     # tokenize → hash-agg tf (map-side combine) → repartition skinny
@@ -166,7 +208,7 @@ def build_index(
         # doclength array when it fits (4 B/doc), else fall back to the
         # dl-free bound (true but looser) — the 10^12-doc path
         if num_docs <= cfg.dl_broadcast_max_docs:
-            dl_pdf = docs.select("docid", "doclength").toPandas()
+            dl_pdf = dlen.select("docid", "doclength").toPandas()
             dl_arr = np.zeros(num_docs, np.uint32)
             dl_arr[dl_pdf["docid"].to_numpy()] = dl_pdf["doclength"].to_numpy()
             dl_bc = spark.sparkContext.broadcast(dl_arr)
@@ -174,27 +216,28 @@ def build_index(
             dl_bc = None
 
         def encode_partition(iterator):
-            # groups never straddle partitions (hash-partitioned on pgroup,
-            # pgroup = f(term)), but they can straddle Arrow batches —
-            # concatenate the partition first
-            pdfs = [p for p in iterator if len(p)]
-            if not pdfs:
+            # Arrow-native: groups never straddle partitions (hash-partitioned
+            # on pgroup, pgroup = f(term)), but they can straddle record
+            # batches — concatenate the partition, then one vectorized encode
+            # with zero per-group Python (see codec.encode_arrow_batch)
+            import pyarrow as pa
+
+            batches = [b for b in iterator if b.num_rows]
+            if not batches:
                 return
-            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-            terms = pdf["term"].to_numpy()
-            docids = pdf["docid"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
+            tbl = pa.Table.from_batches(batches).combine_chunks()
+            docids = tbl.column("docid").to_numpy()
+            tfs = tbl.column("tf").to_numpy()
             doclens = dl_bc.value[docids] if dl_bc is not None else None
-            rows = encode_many(
-                terms,
-                docids // shard_size_c,
+            yield encode_arrow_batch(
+                tbl.column("term").combine_chunks(),
                 docids,
                 tfs,
                 doclens,
                 avgdl_c,
+                shard_size_c,
                 block_size,
             )
-            yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
 
         n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
         batches = np.array_split(np.array(todo), n_batches)
@@ -211,7 +254,7 @@ def build_index(
                 tf.where(F.col("pgroup").isin(batch))
                 .repartition(len(batch), "pgroup")
                 .sortWithinPartitions("pgroup", "term", "docid")
-                .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+                .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
                 .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
             ).persist()
             # per-pgroup manifest metrics from the cached frame (one encode
@@ -253,32 +296,10 @@ def build_index(
                 ],
             )
 
-    # ---- stage: shard_sizes (≙ PISA .sizes, one u32 array per shard) -------
-    if not store.exists("shard_sizes"):
-        ssz = shard_size
-
-        def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (shard,) = key
-            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-            dids = pdf["docid"].to_numpy()[order]
-            dls = pdf["doclength"].to_numpy()[order].astype("<u4")
-            start = int(shard) * ssz
-            if not (dids == np.arange(start, start + len(dids))).all():
-                raise ValueError(f"shard {shard}: docids not dense from {start}")
-            return pd.DataFrame(
-                [{"shard": int(shard), "start_docid": start,
-                  "count": len(dids), "dl_bin": dls.tobytes()}]
-            )
-
-        t0 = time.time()
-        packed = (
-            docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
-            .select("shard", "docid", "doclength")
-            .groupBy("shard")
-            .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
-        )
-        store.write("shard_sizes", packed)
-        pending_lineage.append(("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
+    # join the concurrent docs / shard_sizes writers before dependent stages
+    for fut in side_futures:
+        pending_lineage.append(fut.result())
+    pool.shutdown()
 
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):
@@ -302,6 +323,7 @@ def build_index(
 
     if pending_lineage:
         _lineage_rows(store, spark, pending_lineage)
+    toks.unpersist()
     if persisted is not None:
         persisted.unpersist()
     return store

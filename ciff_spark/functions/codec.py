@@ -268,6 +268,112 @@ def encode_many(
     return out
 
 
+def encode_arrow_batch(
+    term_arr,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray | None,
+    avgdl: float,
+    shard_size: int,
+    block_size: int = BLOCK_SIZE,
+):
+    """Arrow-native multi-group encoder: same output as ``encode_many`` but
+    with ZERO per-group Python objects. Terms stay an Arrow string array
+    (group boundaries come from dictionary codes), and the blocks column is
+    assembled as a ListArray<Struct> whose binary children are built directly
+    on the shared varint buffer (the concatenation of all blocks' bytes IS
+    the buffer — offsets index into it, no per-block slicing/copies).
+
+    Returns a pyarrow.RecordBatch(term, shard, df, cf, blocks).
+    """
+    import pyarrow as pa
+
+    n = len(docids)
+    assert n > 0
+    codes = term_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    docids = np.ascontiguousarray(docids, np.int64)
+    tfs = np.ascontiguousarray(tfs, np.int64)
+    shards = docids // shard_size
+
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+    grp_start = np.flatnonzero(new_grp)
+    grp_id = np.cumsum(new_grp) - 1
+    g = len(grp_start)
+
+    gaps = np.empty(n, np.int64)
+    gaps[0] = 0
+    gaps[1:] = docids[1:] - docids[:-1]
+    gaps[grp_start] = docids[grp_start] + 1
+    if n > 1 and (gaps[~new_grp] <= 0).any():
+        raise ValueError("docids must be strictly ascending within each group")
+    if (tfs <= 0).any():
+        raise ValueError("tfs must be positive")
+
+    local = np.arange(n) - grp_start[grp_id]
+    blk_start = np.flatnonzero(local % block_size == 0)
+    blk_end = np.empty(len(blk_start), np.int64)
+    blk_end[:-1] = blk_start[1:]
+    blk_end[-1] = n
+    blk_grp = grp_id[blk_start]
+    nb = len(blk_start)
+
+    counts = (blk_end - blk_start).astype(np.int32)
+    max_docid = docids[blk_end - 1]
+    max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
+    if doclens is not None:
+        tfnorm = tfnorm_np(tfs, doclens, float(avgdl))
+        max_tfn = np.maximum.reduceat(tfnorm, blk_start)
+    else:
+        max_tfn = tfnorm_upper_bound(max_tf.astype(np.float64))
+
+    dbuf, dlens = varint_encode(gaps.astype(np.uint64))
+    tbuf, tlens = varint_encode(tfs.astype(np.uint64))
+    doff = np.zeros(n + 1, np.int64)
+    np.cumsum(dlens, out=doff[1:])
+    toff = np.zeros(n + 1, np.int64)
+    np.cumsum(tlens, out=toff[1:])
+    # binary children: offsets at block boundaries straight into the buffer
+    d_offsets = np.append(doff[blk_start], doff[-1]).astype(np.int32)
+    t_offsets = np.append(toff[blk_start], toff[-1]).astype(np.int32)
+    docs_bin = pa.Array.from_buffers(
+        pa.binary(), nb, [None, pa.py_buffer(d_offsets.tobytes()), pa.py_buffer(dbuf.tobytes())]
+    )
+    tfs_bin = pa.Array.from_buffers(
+        pa.binary(), nb, [None, pa.py_buffer(t_offsets.tobytes()), pa.py_buffer(tbuf.tobytes())]
+    )
+    block_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(counts, pa.int32()),
+            pa.array(max_docid, pa.int64()),
+            pa.array(max_tf, pa.int32()),
+            pa.array(max_tfn, pa.float64()),
+            docs_bin,
+            tfs_bin,
+        ],
+        ["count", "max_docid", "max_tf", "max_tfnorm", "docs_bin", "tfs_bin"],
+    )
+    b0 = np.searchsorted(blk_grp, np.arange(g))
+    list_offsets = np.append(b0, nb).astype(np.int32)
+    blocks = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), block_struct)
+
+    grp_end = np.append(grp_start[1:], n)
+    df_g = (grp_end - grp_start).astype(np.int64)
+    cf_g = np.add.reduceat(tfs, grp_start).astype(np.int64)
+    terms_out = term_arr.take(pa.array(grp_start, pa.int64()))
+    return pa.RecordBatch.from_arrays(
+        [
+            terms_out,
+            pa.array(shards[grp_start].astype(np.int32), pa.int32()),
+            pa.array(df_g, pa.int64()),
+            pa.array(cf_g, pa.int64()),
+            blocks,
+        ],
+        ["term", "shard", "df", "cf", "blocks"],
+    )
+
+
 def decode_block(
     docs_bin: bytes, tfs_bin: bytes, count: int, prev_max_docid: int
 ) -> tuple[np.ndarray, np.ndarray]:

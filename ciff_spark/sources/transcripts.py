@@ -37,27 +37,37 @@ TRANSCRIPT_SCHEMA = (
     "tool string, ts timestamp"
 )
 
-_VOCAB = np.array([f"w{i:06d}" for i in range(VOCAB_SIZE)])
-# Zipf cumulative distribution, precomputed once per process.
-_p = 1.0 / np.arange(1, VOCAB_SIZE + 1) ** ZIPF_S
-_ZIPF_CDF = np.cumsum(_p / _p.sum())
+_VOCAB_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _get_vocab(vocab_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(word array, Zipf CDF) for a vocabulary size — cached per process.
+    The default 10k vocab is the pinned oracle-parity corpus; larger sizes
+    exist for the vocabulary-scale benchmark (realistic term cardinality)."""
+    if vocab_size not in _VOCAB_CACHE:
+        width = max(6, len(str(vocab_size - 1)))
+        words = np.char.add("w", np.char.zfill(np.arange(vocab_size).astype(str), width))
+        p = 1.0 / np.arange(1, vocab_size + 1) ** ZIPF_S
+        _VOCAB_CACHE[vocab_size] = (words, np.cumsum(p / p.sum()))
+    return _VOCAB_CACHE[vocab_size]
 
 
 _COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def _conv_rows(conv_index: int, seed: int) -> list[tuple]:
+def _conv_rows(conv_index: int, seed: int, vocab_size: int = VOCAB_SIZE) -> list[tuple]:
     """All turns of one conversation — pure function of (seed, conv_index)."""
     # golden-ratio seed mix, intentionally wrapping mod 2^64
     mixed = (seed * 0x9E3779B97F4A7C15 + conv_index) % (1 << 64)
     rng = np.random.default_rng(np.uint64(mixed))
+    vocab, cdf = _get_vocab(vocab_size)
     n_turns = int(min(1 + rng.geometric(0.18), MAX_TURNS))
     rows = []
     conv_id = f"conv{conv_index:08d}"
     base_min = conv_index * MAX_TURNS
     for t in range(n_turns):
         n_tok = int(3 + rng.integers(0, 118))
-        words = _VOCAB[np.searchsorted(_ZIPF_CDF, rng.random(n_tok))]
+        words = vocab[np.searchsorted(cdf, rng.random(n_tok))]
         # ~1% noise: uppercase a word or glue punctuation, exercising the tokenizer
         noise = rng.random(n_tok)
         words = [
@@ -81,16 +91,17 @@ def _rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
     return pdf
 
 
-def transcripts_pdf(n_convs: int, seed: int = 42) -> pd.DataFrame:
+def transcripts_pdf(n_convs: int, seed: int = 42, vocab_size: int = VOCAB_SIZE) -> pd.DataFrame:
     """Local (oracle-side) generation — identical rows to ``transcripts_df``."""
     rows: list[tuple] = []
     for i in range(n_convs):
-        rows.extend(_conv_rows(i, seed))
+        rows.extend(_conv_rows(i, seed, vocab_size))
     return _rows_to_pdf(rows)
 
 
 def transcripts_df(
-    spark: SparkSession, n_convs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n_convs: int, seed: int = 42, partitions: int | None = None,
+    vocab_size: int = VOCAB_SIZE,
 ) -> DataFrame:
     """Distributed generation: one task per conv range, rows identical to
     ``transcripts_pdf`` regardless of ``partitions``."""
@@ -100,7 +111,7 @@ def transcripts_df(
         for pdf in iterator:
             rows: list[tuple] = []
             for conv_index in pdf["id"].tolist():
-                rows.extend(_conv_rows(int(conv_index), seed))
+                rows.extend(_conv_rows(int(conv_index), seed, vocab_size))
             if rows:
                 yield _rows_to_pdf(rows)
 

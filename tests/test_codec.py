@@ -104,3 +104,44 @@ def test_idf_matches_reference_formula():
     # idf = ln((N - df + 0.5)/(df + 0.5)) — negative for df > N/2 is kept
     assert idf_np(1, 3) == pytest.approx(np.log(2.5 / 1.5))
     assert idf_np(3, 3) < 0
+
+
+def test_encode_arrow_batch_equals_encode_many():
+    """The Arrow-native partition encoder must produce bit-identical blocks
+    to the readable reference implementation."""
+    import pyarrow as pa
+
+    from ciff_spark.functions.codec import encode_arrow_batch, encode_many
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for t in [f"t{i:03d}" for i in range(40)]:
+        df_ = int(rng.integers(1, 300))
+        docids = np.sort(rng.choice(5000, df_, replace=False))
+        for d in docids:
+            rows.append((t, int(d), int(rng.integers(1, 9))))
+    rows.sort()
+    terms = np.array([r[0] for r in rows], object)
+    docids = np.array([r[1] for r in rows], np.int64)
+    tfs = np.array([r[2] for r in rows], np.int64)
+    dls = rng.integers(5, 100, 5000).astype(np.uint32)
+
+    shard_size = 700
+    exp = encode_many(terms, docids // shard_size, docids, tfs, dls[docids], 42.0, 16)
+    batch = encode_arrow_batch(
+        pa.array(terms.tolist(), pa.string()), docids, tfs, dls[docids], 42.0,
+        shard_size, 16,
+    )
+    got = batch.to_pylist()
+    assert len(got) == len(exp)
+    for g, (term, shard, df_, cf, blocks) in zip(got, exp):
+        assert g["term"] == term and g["shard"] == shard
+        assert g["df"] == df_ and g["cf"] == cf
+        assert len(g["blocks"]) == len(blocks)
+        for gb, eb in zip(g["blocks"], blocks):
+            assert gb["count"] == eb["count"]
+            assert gb["max_docid"] == eb["max_docid"]
+            assert gb["max_tf"] == eb["max_tf"]
+            assert gb["max_tfnorm"] == pytest.approx(eb["max_tfnorm"])
+            assert gb["docs_bin"] == eb["docs_bin"]
+            assert gb["tfs_bin"] == eb["tfs_bin"]
