@@ -28,13 +28,17 @@ def _all_modules():
         dedup,
         events,
         index_queries,
+        multimodal_ops,
         quantize,
         relational,
         simsearch,
         textquality,
     )
 
-    return (index_queries, dedup, textquality, simsearch, events, relational, quantize)
+    return (
+        index_queries, dedup, textquality, simsearch, events, relational,
+        quantize, multimodal_ops,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
