@@ -186,120 +186,128 @@ def build_index(
     # tokenize → hash-agg tf (map-side combine) → repartition skinny
     # (term, docid, tf) rows by pgroup + in-partition sort → one Arrow pass
     # per partition block-encodes every (term, shard) group vectorized.
-    done = _done_pgroups(store, spark)
-    todo = [g for g in range(cfg.n_pgroups) if g not in done]
-    if todo:
-        _clean_partial_pgroups(store, todo)
-        # hash-agg first (map-side partial combine shrinks the token stream
-        # ~1.5-2× before it hits the wire), THEN repartition the skinny
-        # (term, docid, tf) rows to pgroups for encoding
-        tf = (
-            toks.select("docid", F.explode("tokens").alias("term"))
-            .groupBy("term", "docid")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
-        )
-        block_size = cfg.block_size
-        avgdl_c = avgdl
-        n_pgroups = cfg.n_pgroups
-        shard_size_c = shard_size
-
-        # exact per-block BM25 bounds need dl[docid]; broadcast the dense
-        # doclength array when it fits (4 B/doc), else fall back to the
-        # dl-free bound (true but looser) — the 10^12-doc path
-        if num_docs <= cfg.dl_broadcast_max_docs:
-            dl_pdf = dlen.select("docid", "doclength").toPandas()
-            dl_arr = np.zeros(num_docs, np.uint32)
-            dl_arr[dl_pdf["docid"].to_numpy()] = dl_pdf["doclength"].to_numpy()
-            dl_bc = spark.sparkContext.broadcast(dl_arr)
-        else:
-            dl_bc = None
-
-        def encode_partition(iterator):
-            # Arrow-native: groups never straddle partitions (hash-partitioned
-            # on pgroup, pgroup = f(term)), but they can straddle record
-            # batches — concatenate the partition, then one vectorized encode
-            # with zero per-group Python (see codec.encode_arrow_batch)
-            import pyarrow as pa
-
-            batches = [b for b in iterator if b.num_rows]
-            if not batches:
-                return
-            tbl = pa.Table.from_batches(batches).combine_chunks()
-            docids = tbl.column("docid").to_numpy()
-            tfs = tbl.column("tf").to_numpy()
-            doclens = dl_bc.value[docids] if dl_bc is not None else None
-            yield encode_arrow_batch(
-                tbl.column("term").combine_chunks(),
-                docids,
-                tfs,
-                doclens,
-                avgdl_c,
-                shard_size_c,
-                block_size,
+    try:
+        done = _done_pgroups(store, spark)
+        todo = [g for g in range(cfg.n_pgroups) if g not in done]
+        if todo:
+            _clean_partial_pgroups(store, todo)
+            # hash-agg first (map-side partial combine shrinks the token stream
+            # ~1.5-2× before it hits the wire), THEN repartition the skinny
+            # (term, docid, tf) rows to pgroups for encoding
+            tf = (
+                toks.select("docid", F.explode("tokens").alias("term"))
+                .groupBy("term", "docid")
+                .agg(F.count("*").alias("tf"))
+                .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
             )
+            block_size = cfg.block_size
+            avgdl_c = avgdl
+            n_pgroups = cfg.n_pgroups
+            shard_size_c = shard_size
 
-        n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
-        batches = np.array_split(np.array(todo), n_batches)
-        for bi, batch in enumerate(batches):
-            if cfg.fail_after_batches is not None and bi >= cfg.fail_after_batches:
-                raise RuntimeError("injected failure (BuildConfig.fail_after_batches)")
-            batch = [int(g) for g in batch]
-            t0 = time.time()
-            # partition by pgroup BEFORE encoding: each task then writes into
-            # exactly one pgroup subdir (≈1 file per pgroup, not tasks×pgroups
-            # small files); (term, shard) groups stay contiguous because
-            # pgroup is a function of term
-            part = (
-                tf.where(F.col("pgroup").isin(batch))
-                .repartition(len(batch), "pgroup")
-                .sortWithinPartitions("pgroup", "term", "docid")
-                .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
-                .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
-            ).persist()
-            # per-pgroup manifest metrics from the cached frame (one encode
-            # pass; on Iceberg these would come free from snapshot stats)
-            m_rows = (
-                part.groupBy("pgroup")
-                .agg(
-                    F.count("*").alias("rows"),
-                    F.sum("df").alias("postings"),
-                    F.sum(
-                        F.aggregate(
-                            "blocks",
-                            F.lit(0).cast("long"),
-                            lambda acc, b: acc
-                            + F.length(b["docs_bin"])
-                            + F.length(b["tfs_bin"]),
-                        )
-                    ).alias("bytes"),
+            # exact per-block BM25 bounds need dl[docid]; broadcast the dense
+            # doclength array when it fits (4 B/doc), else fall back to the
+            # dl-free bound (true but looser) — the 10^12-doc path
+            if num_docs <= cfg.dl_broadcast_max_docs:
+                dl_pdf = dlen.select("docid", "doclength").toPandas()
+                dl_arr = np.zeros(num_docs, np.uint32)
+                dl_arr[dl_pdf["docid"].to_numpy()] = dl_pdf["doclength"].to_numpy()
+                dl_bc = spark.sparkContext.broadcast(dl_arr)
+            else:
+                dl_bc = None
+
+            def encode_partition(iterator):
+                # Arrow-native: groups never straddle partitions (hash-partitioned
+                # on pgroup, pgroup = f(term)), but they can straddle record
+                # batches — concatenate the partition, then one vectorized encode
+                # with zero per-group Python (see codec.encode_arrow_batch)
+                import pyarrow as pa
+
+                batches = [b for b in iterator if b.num_rows]
+                if not batches:
+                    return
+                tbl = pa.Table.from_batches(batches).combine_chunks()
+                docids = tbl.column("docid").to_numpy()
+                tfs = tbl.column("tf").to_numpy()
+                doclens = dl_bc.value[docids] if dl_bc is not None else None
+                yield encode_arrow_batch(
+                    tbl.column("term").combine_chunks(),
+                    docids,
+                    tfs,
+                    doclens,
+                    avgdl_c,
+                    shard_size_c,
+                    block_size,
                 )
-                .collect()
-            )
-            part.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
-            part.unpersist()
-            wall = int((time.time() - t0) * 1000)
-            # manifest AFTER the data commit → a crash between the two re-runs
-            # the batch; the cleanup above makes that idempotent
-            stats_by_g = {int(r["pgroup"]): r for r in m_rows}
-            _lineage_rows(
-                store, spark,
-                [
-                    (
-                        "postings", g,
-                        int(stats_by_g[g]["rows"]) if g in stats_by_g else 0,
-                        int(stats_by_g[g]["postings"]) if g in stats_by_g else 0,
-                        int(stats_by_g[g]["bytes"]) if g in stats_by_g else 0,
-                        wall, "done",
-                    )
-                    for g in batch
-                ],
-            )
 
-    # join the concurrent docs / shard_sizes writers before dependent stages
-    for fut in side_futures:
-        pending_lineage.append(fut.result())
-    pool.shutdown()
+            n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
+            batches = np.array_split(np.array(todo), n_batches)
+            for bi, batch in enumerate(batches):
+                if cfg.fail_after_batches is not None and bi >= cfg.fail_after_batches:
+                    raise RuntimeError("injected failure (BuildConfig.fail_after_batches)")
+                batch = [int(g) for g in batch]
+                t0 = time.time()
+                # partition by pgroup BEFORE encoding: each task then writes into
+                # exactly one pgroup subdir (≈1 file per pgroup, not tasks×pgroups
+                # small files); (term, shard) groups stay contiguous because
+                # pgroup is a function of term
+                part = (
+                    tf.where(F.col("pgroup").isin(batch))
+                    .repartition(len(batch), "pgroup")
+                    .sortWithinPartitions("pgroup", "term", "docid")
+                    .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
+                    .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
+                ).persist()
+                # per-pgroup manifest metrics from the cached frame (one encode
+                # pass; on Iceberg these would come free from snapshot stats)
+                m_rows = (
+                    part.groupBy("pgroup")
+                    .agg(
+                        F.count("*").alias("rows"),
+                        F.sum("df").alias("postings"),
+                        F.sum(
+                            F.aggregate(
+                                "blocks",
+                                F.lit(0).cast("long"),
+                                lambda acc, b: acc
+                                + F.length(b["docs_bin"])
+                                + F.length(b["tfs_bin"]),
+                            )
+                        ).alias("bytes"),
+                    )
+                    .collect()
+                )
+                part.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
+                part.unpersist()
+                wall = int((time.time() - t0) * 1000)
+                # manifest AFTER the data commit → a crash between the two re-runs
+                # the batch; the cleanup above makes that idempotent
+                stats_by_g = {int(r["pgroup"]): r for r in m_rows}
+                _lineage_rows(
+                    store, spark,
+                    [
+                        (
+                            "postings", g,
+                            int(stats_by_g[g]["rows"]) if g in stats_by_g else 0,
+                            int(stats_by_g[g]["postings"]) if g in stats_by_g else 0,
+                            int(stats_by_g[g]["bytes"]) if g in stats_by_g else 0,
+                            wall, "done",
+                        )
+                        for g in batch
+                    ],
+                )
+
+    finally:
+        # join the concurrent writers even on failure: a resume in the same
+        # session must never race a still-running writer, and caches must
+        # not leak across failed builds
+        for fut in side_futures:
+            try:
+                pending_lineage.append(fut.result())
+            except Exception:
+                pass  # side-stage failure surfaces via missing table later
+        pool.shutdown()
+
 
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):
@@ -338,13 +346,6 @@ def _lineage_rows(store, spark, rows: list[tuple]) -> None:
     # one driver-local file append per batch — no Spark job fan-out
     df.coalesce(1).write.mode("append").parquet(store.path("_lineage"))
 
-
-def _lineage(store, spark, stage, partition_id, rows=None, postings=None,
-             bytes_=None, wall_ms=None):
-    _lineage_rows(
-        store, spark,
-        [(stage, int(partition_id), rows, postings, bytes_, wall_ms, "done")],
-    )
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:

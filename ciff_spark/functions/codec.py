@@ -153,25 +153,6 @@ def encode_postings(
     return blocks
 
 
-def tokens_to_tf(terms, docids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Run-length aggregate sorted token instances → (terms, docids, tfs).
-
-    Input rows are (term, docid) one per token occurrence, pre-sorted by
-    (term, docid); tf = run length. Replaces a whole JVM hash-agg shuffle
-    stage with one vectorized pass inside the encode partition."""
-    n = len(docids)
-    if n == 0:
-        return np.asarray(terms), docids, np.zeros(0, np.int64)
-    terms = np.asarray(terms, dtype=object)
-    docids = np.ascontiguousarray(docids, np.int64)
-    new = np.empty(n, bool)
-    new[0] = True
-    new[1:] = (terms[1:] != terms[:-1]) | (docids[1:] != docids[:-1])
-    starts = np.flatnonzero(new)
-    tfs = np.diff(np.append(starts, n))
-    return terms[starts], docids[starts], tfs
-
-
 def encode_many(
     terms,
     shards: np.ndarray,
@@ -334,7 +315,15 @@ def encode_arrow_batch(
     np.cumsum(dlens, out=doff[1:])
     toff = np.zeros(n + 1, np.int64)
     np.cumsum(tlens, out=toff[1:])
-    # binary children: offsets at block boundaries straight into the buffer
+    # binary children: offsets at block boundaries straight into the buffer.
+    # pa.binary() carries int32 offsets — guard the 2 GiB-per-partition
+    # boundary explicitly (raise, never wrap); hit it → raise n_pgroups /
+    # encode partitions so each partition's varint buffer shrinks
+    if doff[-1] > np.iinfo(np.int32).max or toff[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"encoded partition exceeds 2GiB ({doff[-1]}/{toff[-1]} bytes); "
+            "increase n_pgroups so per-partition posting bytes fit int32 offsets"
+        )
     d_offsets = np.append(doff[blk_start], doff[-1]).astype(np.int32)
     t_offsets = np.append(toff[blk_start], toff[-1]).astype(np.int32)
     docs_bin = pa.Array.from_buffers(

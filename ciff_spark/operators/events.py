@@ -22,7 +22,15 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_sess",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > SESSION_GAP_S),
+                # fractional-second epoch (cast to double) — unix_timestamp()
+                # truncates to whole seconds while the DuckDB oracle's epoch()
+                # keeps fractions, which flips sessions whose gap lands within
+                # 1s of the threshold
+                | (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("prev_ts").cast("timestamp").cast("double")
+                    > SESSION_GAP_S
+                ),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )

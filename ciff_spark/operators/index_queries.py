@@ -140,7 +140,11 @@ def _bm25_indexed(query: str, mode: str):
         reader = IndexReader(spark, index_root_for(sf_dir))
         # over-fetch, then re-rank on ROUNDED score — the driver-facing
         # ordering contract shared with the DuckDB oracle (see bm25_topk_sql)
-        out = reader.topk([(0, query)], k=K + 50, mode=mode, round_scores=False)
+        # over-fetch bound: re-ranking on ROUNDED scores can promote a doc
+        # from below the raw-score cut only if >200 docs sit within 1e-6 of
+        # the boundary — not observed on any fixture; a fully sound variant
+        # would rank rounded inside the reader (costlier for WAND pruning)
+        out = reader.topk([(0, query)], k=K + 200, mode=mode, round_scores=False)
         return (
             out.select(
                 F.col("docid").alias("doc_id"),

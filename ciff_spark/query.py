@@ -68,7 +68,13 @@ def bm25_topk_relational(
         F.col(docid_col).cast("long").alias("docid"),
         F.explode(tokenize_expr(text_col)).alias("term"),
     )
-    dl = toks.groupBy("docid").agg(F.count("*").alias("dl"))
+    # doc stats over the FULL corpus: token-less docs (empty/punct-only text)
+    # still count toward N and avgdl — matching the index build's docs table
+    # (doclength 0), so the relational and index engines share one idf/avgdl
+    dl = corpus.select(
+        F.col(docid_col).cast("long").alias("docid"),
+        F.coalesce(F.size(tokenize_expr(text_col)), F.lit(0)).alias("dl"),
+    )
     stats = dl.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).first()
@@ -115,7 +121,9 @@ WITH toks AS (
   SELECT {docid_col} AS docid, unnest({tokenize_sql(text_col)}) AS term
   FROM {table}
 ),
-dl AS (SELECT docid, count(*)::BIGINT AS dl FROM toks GROUP BY docid),
+dl AS (SELECT {docid_col} AS docid,
+              coalesce(len({tokenize_sql(text_col)}), 0)::BIGINT AS dl
+       FROM {table}),
 stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
 tf AS (
   SELECT term, docid, count(*)::BIGINT AS tf FROM toks

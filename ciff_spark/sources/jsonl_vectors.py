@@ -42,11 +42,21 @@ JSONL_SCHEMA = T.StructType(
 
 
 def read_doc_vectors(spark: SparkSession, path: str) -> DataFrame:
-    """(ext_id, pos, term, score) rows; pos = file-order row position."""
+    """(ext_id, pos, term, score) rows; pos = row position.
+
+    Caveat (documented divergence): within one file, ``pos`` follows row
+    order; across MULTIPLE input files Spark packs splits by size, so the
+    partition-index high bits of ``monotonically_increasing_id`` need not
+    follow file-name order. We prepend the file name to the ordering key so
+    first-seen is deterministic and file-ordered per file, but a repeated id
+    spanning files is resolved in file-NAME order, not concatenation order
+    (the reference reads one stream, lib.rs:1005)."""
     raw = (
         spark.read.schema(JSONL_SCHEMA)
         .json(path)
-        .withColumn("pos", F.monotonically_increasing_id())
+        .withColumn("src", F.input_file_name())
+        .withColumn("mono", F.monotonically_increasing_id())
+        .withColumn("pos", F.struct("src", "mono"))
     )
     return raw.select(
         F.col("id").cast("string").alias("ext_id"),
@@ -97,15 +107,19 @@ def build_index_from_doc_vectors(
     store = IndexStore(out_root)
     store.drop()
 
-    rows = read_doc_vectors(spark, jsonl_path)
-    rows = quantize_scores(rows, quantize)
+    raw = read_doc_vectors(spark, jsonl_path)
 
-    # first-seen dense docid: rank external ids by min(pos). The distinct-id
-    # set is orders smaller than the postings; a rank window over it is fine
-    # up to ~10^8 ids per partition-range (two-phase rank drops in above that)
-    ids = rows.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
+    # first-seen dense docid: rank external ids by min(pos), over the RAW
+    # rows — a doc whose every score is dropped still occupies a docid with
+    # doclength 0, exactly like the reference (docid_map insert happens
+    # before the tf<=0 filter, lib.rs:1014 vs 1039). The distinct-id set is
+    # orders smaller than the postings; a rank window over it is fine up to
+    # ~10^8 ids (the two-phase rank drops in above that).
+    ids = raw.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
     w = Window.orderBy("first_pos", "ext_id")
     idmap = ids.withColumn("docid", F.row_number().over(w) - 1).drop("first_pos")
+
+    rows = quantize_scores(raw, quantize)
 
     tf = (
         rows.join(idmap, "ext_id")
