@@ -88,3 +88,88 @@ class LocalSearcher:
         ]
         d, s = wand_topk(lists, self.dl, 0, self.avgdl, k)
         return list(zip(d.tolist(), s.tolist()))
+
+
+class FreshSearcher(LocalSearcher):
+    """Serving over base index + streaming segments (fresh results).
+
+    Collection statistics (N, avgdl, per-term df) are recomputed over
+    base ∪ segments, so scores match a full rebuild over the same rows —
+    the metamorphic guarantee tests assert. Scoring is EXHAUSTIVE (no WAND):
+    segment block bounds are dl-free and the base bounds were computed
+    against the pre-segment avgdl, so pruning thresholds would be stale;
+    segments are small by construction (compaction folds them back), making
+    exhaustive scoring of the query terms' lists the right trade until the
+    next compaction.
+    """
+
+    def __init__(self, index_root: str) -> None:
+        super().__init__(index_root)
+        import glob as _glob
+
+        from ciff_spark.functions.codec import decode_postings
+
+        self._decode = decode_postings
+        seg_doc_files = _glob.glob(f"{self.root}/seg_docs/*.parquet")
+        if seg_doc_files:
+            segd = pq.read_table(seg_doc_files).to_pylist()
+            segd.sort(key=lambda r: r["docid"])
+            self.seg_dl = {int(r["docid"]): int(r["doclength"]) for r in segd}
+        else:
+            self.seg_dl = {}
+        seg_post_files = _glob.glob(f"{self.root}/seg_postings/*.parquet")
+        self._seg_rows = (
+            pq.read_table(seg_post_files, columns=["term", "segment", "blocks"]).to_pylist()
+            if seg_post_files
+            else []
+        )
+        # combined collection statistics
+        self.fresh_num_docs = self.num_docs + len(self.seg_dl)
+        self.fresh_total = int(self.dl.sum()) + sum(self.seg_dl.values())
+        self.fresh_avgdl = self.fresh_total / self.fresh_num_docs if self.fresh_num_docs else 0.0
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        from ciff_spark.functions.scoring import tfnorm_np
+
+        terms = sorted(set(tokenize_py(query)))
+        if not terms:
+            return []
+        base_lists = self._fetch_lists(terms)
+        seg_lists: dict[str, list] = {}
+        for r in self._seg_rows:
+            if r["term"] in terms:
+                seg_lists.setdefault(r["term"], []).append(r)
+
+        scores: dict[int, float] = {}
+        for t in terms:
+            # global df across base + segments
+            df = self._df.get(t, 0)
+            seg_decoded = []
+            for r in sorted(seg_lists.get(t, []), key=lambda r: r["segment"]):
+                d, tf = self._decode(r["blocks"])
+                seg_decoded.append((d, tf))
+                df += len(d)
+            if df == 0:
+                continue
+            idf = float(idf_np(df, self.fresh_num_docs))
+            if t in base_lists:
+                blocks, prevs = base_lists[t]
+                parts_d, parts_tf = [], []
+                for blk, prev in zip(blocks, prevs):
+                    from ciff_spark.functions.codec import decode_block
+
+                    d, tf = decode_block(blk["docs_bin"], blk["tfs_bin"], blk["count"], prev)
+                    parts_d.append(d)
+                    parts_tf.append(tf)
+                d = np.concatenate(parts_d)
+                tf = np.concatenate(parts_tf)
+                contrib = idf * tfnorm_np(tf, self.dl[d], self.fresh_avgdl)
+                for dd, cc in zip(d.tolist(), contrib.tolist()):
+                    scores[dd] = scores.get(dd, 0.0) + cc
+            for d, tf in seg_decoded:
+                dls = np.array([self.seg_dl[int(x)] for x in d], np.float64)
+                contrib = idf * tfnorm_np(tf, dls, self.fresh_avgdl)
+                for dd, cc in zip(d.tolist(), contrib.tolist()):
+                    scores[dd] = scores.get(dd, 0.0) + cc
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return ranked

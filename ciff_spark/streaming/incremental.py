@@ -9,9 +9,13 @@ tables. Because batch docid ranges are disjoint and increasing, a per-term
 merge across segments is — like the shard merge — pure concatenation in
 segment order; ``compact_segments`` folds segments into the base tables.
 
-Readers that want fresh results union base + segments; rank-identity with a
-cold batch build over the same rows is asserted in tests (the metamorphic
-"incremental ≡ batch" property).
+Readers that want fresh results use ``ciff_spark.serve.FreshSearcher``, which
+recomputes collection statistics over base ∪ segments and scores both
+exhaustively (segment rows carry ``shard = 0`` relative to their own docid
+range, so they are NOT unionable into the shard-cogrouped distributed reader
+— the serving path handles them natively). Rank-identity with a cold batch
+build / the oracle over the same rows is asserted in tests (the metamorphic
+"incremental ≡ batch" and "fresh ≡ rebuild" properties).
 """
 
 from __future__ import annotations

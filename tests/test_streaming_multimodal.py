@@ -110,3 +110,46 @@ def test_multimodal_pipeline(spark):
 
     stats = media_stats(media).toPandas()
     assert set(stats["kind"]) == {"image", "audio", "video"}
+
+
+def test_fresh_search_equals_rebuild(spark, tmp_path):
+    """Fresh serving over base + segments must be rank/score-identical to the
+    single-node oracle over ALL rows (base ∪ streamed)."""
+    import numpy as np
+
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.serve import FreshSearcher
+    from oracle import OracleIndex
+
+    pdf = transcripts_pdf(24, seed=31).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    cut = pdf[pdf.conv_id <= pdf.iloc[len(pdf) * 2 // 3].conv_id].index.max() + 1
+    base_pdf, stream_pdf = pdf.iloc[:cut], pdf.iloc[cut:]
+
+    root = str(tmp_path / "fresh_idx")
+    build_index(
+        spark.createDataFrame(base_pdf), root,
+        config=BuildConfig(n_shards=3, n_pgroups=2, block_size=8), resume=False,
+    )
+    indir = tmp_path / "fresh_in"
+    indir.mkdir()
+    spark.createDataFrame(stream_pdf).coalesce(1).write.parquet(str(indir / "b0"))
+    q = start_incremental_index(
+        spark, str(indir / "*"), root, str(tmp_path / "fresh_ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    oracle = OracleIndex.build(pdf)
+    searcher = FreshSearcher(root)
+    assert searcher.fresh_num_docs == oracle.num_docs
+    assert abs(searcher.fresh_avgdl - oracle.avgdl) < 1e-9
+    for query in ["w000001", "w000002 w000345", "w000003 w000001 w001234", "zz none"]:
+        got = searcher.search(query, k=10)
+        exp = oracle.topk(query, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], query
+        assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-9), query
+    # base-only searcher must differ once segments exist (stats moved)
+    # — guards against silently ignoring segments
+    from ciff_spark.serve import LocalSearcher
+
+    base_only = LocalSearcher(root)
+    assert base_only.num_docs < searcher.fresh_num_docs
