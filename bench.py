@@ -383,7 +383,7 @@ def main() -> None:
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--stage-only", action="store_true")
     ap.add_argument("--vocab-exp", type=int, default=0, help="run the vocabulary-scale experiment with this vocab size")
-    ap.add_argument("--pair", default="2,8", help="N,4N core pair for --scaling")
+    ap.add_argument("--pair", default="1,4", help="N,4N core pair for --scaling")
     ap.add_argument("--convs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000")))
     args = ap.parse_args()
     if args.vocab_exp:
