@@ -12,6 +12,22 @@ from ciff_spark.sources.testdata import load
 
 SESSION_GAP_S = 1800  # 30 min
 
+# Cross-engine-deterministic value sums: round-1 showed `round(sum(value), 6)`
+# hash-flipping between Spark and DuckDB (f64 accumulation-order noise landing
+# ON a rounding boundary). Fix: convert each value to integer micro-units
+# PER ROW (both engines round the identical double identically — the input
+# has ≤2 decimals, so the nearest-integer choice is never a tie) and sum
+# exact int64s — associative, order-free, bit-identical everywhere.
+MICROS = 1_000_000
+
+
+def _micros_col(col: str):
+    return F.round(F.col(col) * MICROS).cast("long")
+
+
+def _micros_sql(expr: str) -> str:
+    return f"CAST(round({expr} * {MICROS}) AS BIGINT)"
+
 
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -40,7 +56,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum(_micros_col("value")).alias("sum_value_micros"),
     )
 
 
@@ -62,7 +78,7 @@ SELECT user_id, session_idx,
        count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
-       round(sum(value), 6) AS sum_value
+       CAST(sum({_micros_sql('value')}) AS BIGINT) AS sum_value_micros
 FROM sess GROUP BY user_id, session_idx
 """
 
@@ -74,17 +90,21 @@ def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.sum(_micros_col("value")).alias("sum_value_micros"),
+    ).withColumn(
+        # avg derived from the exact integer sum: identical doubles on both
+        # engines, so the final rounding can't flip
+        "avg_value",
+        F.round(F.col("sum_value_micros") / F.lit(float(MICROS)) / F.col("n"), 6),
     )
 
 
-EV_TUMBLING_SQL = """
+EV_TUMBLING_SQL = f"""
 SELECT event_type,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        count(*)::BIGINT AS n,
-       round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       CAST(sum({_micros_sql('value')}) AS BIGINT) AS sum_value_micros,
+       round(CAST(sum({_micros_sql('value')}) AS BIGINT) / {float(MICROS)!r} / count(*), 6) AS avg_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
