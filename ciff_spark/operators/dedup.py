@@ -281,31 +281,70 @@ FROM bits GROUP BY docid
 
 SIMHASH_MAX_HAMMING = 2
 
+# (t+1)-band split of the 16 simhash bits for t = SIMHASH_MAX_HAMMING:
+# ≤ t differing bits can touch at most t of the t+1 bands, so every pair at
+# hamming ≤ t agrees EXACTLY on at least one band (pigeonhole) — candidate
+# generation is a per-band equi-join, recall is 1.0 by construction.
+SIMHASH_BANDS = ((0, 6), (6, 5), (11, 5))  # (bit offset, width) covering 16 bits
+assert len(SIMHASH_BANDS) == SIMHASH_MAX_HAMMING + 1
+assert sum(w for _, w in SIMHASH_BANDS) == SIMHASH_BITS
+
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance ≤ t. At this scale an
-    all-pairs check; the 100 TB path buckets on hash bands (split the 16 bits
-    into t+1 bands — any pair within distance t shares ≥ one exact band) and
-    joins per band, same as the MinHash LSH above."""
-    sh = dedup_simhash(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(b, F.col("a.docid") < F.col("b.docid"))
-        .select(
-            F.col("a.docid").alias("d1"),
-            F.col("b.docid").alias("d2"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-    )
+    """All pairs at SimHash hamming distance ≤ t, banded-LSH style (the
+    100 TB shape — never an all-pairs cross join):
 
+    1. each signature emits one row per band: (band, band_value, docid);
+    2. candidates = equi-join on (band, band_value) — shuffles on the band
+       hash, quadratic only within identical-band buckets;
+    3. verify candidates exactly with ``bit_count(xor)`` ≤ t.
+
+    Exact (not approximate): the band split guarantees every qualifying pair
+    shares some full band, so step 2 has perfect recall for hamming ≤ t."""
+    sh = dedup_simhash(spark, sf_dir)
+    bands = None
+    for bi, (off, width) in enumerate(SIMHASH_BANDS):
+        mask = (1 << width) - 1
+        band = sh.select(
+            "docid",
+            "simhash",
+            F.lit(bi).alias("band"),
+            F.expr(f"shiftright(simhash, {off}) & {mask}").alias("bv"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.docid") < F.col("y.docid")),
+        )
+        .select(
+            F.col("x.docid").alias("d1"),
+            F.col("y.docid").alias("d2"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT docid, simhash, {bi} AS band, (simhash >> {off}) & {(1 << w) - 1} AS bv FROM sh"
+    for bi, (off, w) in enumerate(SIMHASH_BANDS)
+)
 
 DEDUP_SIMHASH_PAIRS_SQL = f"""
-WITH sh AS ({DEDUP_SIMHASH_SQL})
-SELECT a.docid AS d1, b.docid AS d2,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sh a JOIN sh b ON a.docid < b.docid
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+WITH sh AS ({DEDUP_SIMHASH_SQL}),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.docid AS d1, y.docid AS d2,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bv = y.bv AND x.docid < y.docid
+)
+SELECT d1, d2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 

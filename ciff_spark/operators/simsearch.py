@@ -23,8 +23,17 @@ from ciff_spark.sources.testdata import load
 
 K_ANN = 20
 K_IVF = 10
-NEARDUP_COS = 0.95
+# pair threshold: the testdata embeddings are near-isotropic (max pairwise
+# cosine ≈ 0.51 at every sf), so a "classic" 0.95 threshold makes every pair
+# query vacuously empty — 0.42 yields real pairs at sf0.001/0.01/0.1, which
+# is what the oracle comparison needs to actually prove something
+NEARDUP_COS = 0.42
 N_PLANES = 8
+# OR-amplified banding of the hyperplane bits for candidate generation:
+# a pair is a candidate iff it agrees on ALL bits of >= 1 band
+LSH_BAND_BITS = 2
+LSH_N_BANDS = N_PLANES // LSH_BAND_BITS
+NEARDUP_BLOCKS = 8  # row-block count for the exact all-pairs gemm
 DIM = 64
 
 
@@ -120,44 +129,89 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}"""
 )
 
 
-def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ threshold, via distributed block matrix
-    multiply: each task multiplies its row-block against the broadcast
-    normalized matrix with one BLAS gemm (2000² pairs ≈ 50 ms of numpy vs
-    ~20 s of per-pair interpreted array lambdas). At corpus scale where the
-    matrix can't broadcast, the same kernel runs over LSH-bucketed or
-    IVF-partitioned candidate blocks (lsh_hyperplane_buckets below) — the
-    row-block × block structure is unchanged."""
+_PACKED_SCHEMA = "bid int, n int, dim int, ids binary, mat binary"
+
+
+def _packed_blocks(spark: SparkSession, sf_dir: str, n_blocks: int) -> DataFrame:
+    """embeddings → one row per row-block: (bid, n, dim, ids int64-LE bytes,
+    L2-normalized matrix float64-LE bytes). Fully distributed — each block is
+    packed by the executor holding its rows; block rows are megabytes even
+    with thousands of vectors per block, so they ride joins cheaply."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    ids = pdf["vec_id"].to_numpy(np.int64)
-    bc = spark.sparkContext.broadcast((unit, ids))
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pd.DataFrame(
+            [{
+                "bid": int(key[0]),
+                "n": len(pdf),
+                "dim": unit.shape[1],
+                "ids": pdf["vec_id"].to_numpy(np.int64).tobytes(),
+                "mat": unit.tobytes(),
+            }]
+        )
+
+    return (
+        emb.withColumn("bid", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("bid")
+        .applyInPandas(pack, schema=_PACKED_SCHEMA)
+    )
+
+
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold — EXACT, via distributed block-pair
+    matrix multiply: vectors pack into ``NEARDUP_BLOCKS`` row-blocks, the
+    driver enumerates the upper-triangle block-pair list (a tiny equi-join
+    key table, never a nested-loop join), and each task runs one BLAS gemm
+    per block pair. No driver collect, no full-matrix broadcast — intrinsic
+    O(N²/B) exact cost spread over B(B+1)/2 independent tasks. This is the
+    exactness baseline/verifier; ``neardup_lsh_pairs`` is the sub-quadratic
+    candidate-generation path at corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    blocks = _packed_blocks(spark, sf_dir, NEARDUP_BLOCKS)
+    bp = [(i, j) for i in range(NEARDUP_BLOCKS) for j in range(NEARDUP_BLOCKS) if i <= j]
+    pair_keys = spark.createDataFrame(bp, "bi int, bj int")
+    joined = (
+        pair_keys.join(blocks.alias("a"), F.col("bi") == F.col("a.bid"))
+        .join(blocks.alias("b"), F.col("bj") == F.col("b.bid"))
+        .select(
+            "bi", "bj",
+            F.col("a.n").alias("n_a"), F.col("a.dim").alias("dim_a"),
+            F.col("a.ids").alias("ids_a"), F.col("a.mat").alias("mat_a"),
+            F.col("b.n").alias("n_b"), F.col("b.dim").alias("dim_b"),
+            F.col("b.ids").alias("ids_b"), F.col("b.mat").alias("mat_b"),
+        )
+        .repartition(len(bp))
+    )
     thr = NEARDUP_COS
 
-    def block(iterator):
-        u, vid = bc.value
-        for p in iterator:
-            rows = p["i"].to_numpy()
-            sims = u[rows] @ u.T  # one gemm per row-block
-            for k, i in enumerate(rows):
-                cos = np.round(sims[k], 6)
-                j = np.flatnonzero((cos >= thr) & (vid > vid[i]))
-                if j.size:
-                    yield pd.DataFrame(
-                        {"v1": vid[i], "v2": vid[j], "cos": cos[j]}
-                    )
+    def gemm(iterator):
+        for pdf in iterator:
+            for r in pdf.itertuples(index=False):
+                ua = np.frombuffer(r.mat_a, np.float64).reshape(r.n_a, r.dim_a)
+                ub = np.frombuffer(r.mat_b, np.float64).reshape(r.n_b, r.dim_b)
+                ia = np.frombuffer(r.ids_a, np.int64)
+                ib = np.frombuffer(r.ids_b, np.int64)
+                sims = np.round(ua @ ub.T, 6)
+                hit = sims >= thr
+                if r.bi == r.bj:
+                    hit &= ia[:, None] < ib[None, :]  # strict upper triangle
+                ai, bj = np.nonzero(hit)
+                if ai.size:
+                    v1 = np.minimum(ia[ai], ib[bj])
+                    v2 = np.maximum(ia[ai], ib[bj])
+                    yield pd.DataFrame({"v1": v1, "v2": v2, "cos": sims[ai, bj]})
 
-    idx = spark.range(len(ids)).select(F.col("id").cast("int").alias("i"))
-    return idx.repartition(max(2, len(ids) // 512)).mapInPandas(
-        block, schema="v1 bigint, v2 bigint, cos double"
-    )
+    return joined.mapInPandas(gemm, schema="v1 bigint, v2 bigint, cos double")
 
 
 NEARDUP_SQL = f"""
@@ -185,12 +239,16 @@ def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "vx")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("vx").cast("double").alias("vx"))
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
     w = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("i"))), 1, 15), 16, 10
     ).cast("double") / F.lit(float(2**59)) - F.lit(1.0)
     dots = (
-        ev.crossJoin(F.broadcast(planes))
+        # per-row ×N_PLANES expansion via a literal array explode — a narrow
+        # op (no join of any kind in the plan)
+        ev.select(
+            "vec_id", "i", "vx",
+            F.explode(F.array(*[F.lit(p) for p in range(N_PLANES)])).alias("p"),
+        )
         .withColumn("w", w)
         .groupBy("vec_id", "p")
         .agg(F.sum(F.col("vx") * F.col("w")).alias("d"))
@@ -223,9 +281,99 @@ FROM dots GROUP BY vec_id
 """
 
 
+def neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with LSH-bucketed candidate generation — the
+    sub-quadratic 100 TB path: hyperplane sign bits band into
+    ``LSH_N_BANDS`` bands of ``LSH_BAND_BITS``; a pair is a candidate iff it
+    agrees on every bit of at least one band (OR-amplification); candidates
+    come from a per-band equi-join (shuffle on band value, never all-pairs)
+    and are verified with the exact double-precision cosine. Semantics =
+    "pairs ≥ threshold among same-band vectors" — the oracle SQL applies the
+    identical band restriction, so recall of the banding is part of the
+    checked contract, not hidden."""
+    buckets = lsh_hyperplane_buckets(spark, sf_dir)
+    mask = (1 << LSH_BAND_BITS) - 1
+    bands = None
+    for b in range(LSH_N_BANDS):
+        band = buckets.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(bucket, {b * LSH_BAND_BITS}) & {mask}").alias("bv"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .distinct()
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("emb1"), F.col("emb2"))
+                / (_norm(F.col("emb1")) * _norm(F.col("emb2"))),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= NEARDUP_COS)
+        .select("v1", "v2", "cos")
+    )
+
+
+_LSH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, (bucket >> {b * LSH_BAND_BITS}) & {(1 << LSH_BAND_BITS) - 1} AS bv FROM buckets"
+    for b in range(LSH_N_BANDS)
+)
+
+NEARDUP_LSH_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS vx
+  FROM embeddings
+),
+pdots AS (
+  SELECT vec_id, p, sum(vx * ({_W_SQL})) AS d
+  FROM ev, generate_series(0, {N_PLANES - 1}) AS t(p)
+  GROUP BY vec_id, p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM pdots GROUP BY vec_id
+),
+bands AS ({_LSH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(vx * vx)) AS n FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT v1, v2, sum(a.vx * b.vx) AS d
+  FROM cand JOIN ev a ON a.vec_id = v1 JOIN ev b ON b.vec_id = v2 AND a.i = b.i
+  GROUP BY v1, v2
+)
+SELECT v1, v2, round(d / (n1.n * n2.n), 6) AS cos
+FROM dots JOIN norms n1 ON v1 = n1.vec_id JOIN norms n2 ON v2 = n2.vec_id
+WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
+    "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
     "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),
 }
