@@ -37,8 +37,7 @@ except ImportError:
     HAVE_PIL = False
 
 
-def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+def _media_rows(n: int, seed: int = 42) -> list[tuple]:
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
@@ -53,7 +52,44 @@ def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 int(rng.integers(100, 60000)) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+    return spark.createDataFrame(_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def stage_media_parquet(path: str, n: int, seed: int = 42) -> str:
+    """Write the synthetic media table to ONE parquet file (idempotent —
+    content is a pure function of (n, seed)). Both the Spark queries and the
+    DuckDB oracle SQL read this same file, so the multimodal entries get a
+    full value-hash check instead of the rows-only fallback."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = _media_rows(n, seed)
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "kind": pa.array(cols[1], pa.string()),
+            "payload": pa.array(cols[2], pa.binary()),
+            "width": pa.array(cols[3], pa.int32()),
+            "height": pa.array(cols[4], pa.int32()),
+            "sample_rate": pa.array(cols[5], pa.int32()),
+            "duration_ms": pa.array(cols[6], pa.int32()),
+        }
+    )
+    tmp = f"{path}.__tmp_{os.getpid()}"
+    papq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic: concurrent stagers settle on one file
+    return path
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -116,9 +152,13 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def media_stats(df: DataFrame) -> DataFrame:
-    """Operational stats over the binary column — pure built-ins."""
-    return df.groupBy("kind").agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("payload")).alias("total_bytes"),
-        F.avg(F.length("payload")).alias("avg_bytes"),
+    """Operational stats over the binary column — pure built-ins. avg is
+    derived from the exact integer sum so cross-engine rounding can't flip."""
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        )
+        .withColumn("avg_bytes", F.round(F.col("total_bytes") / F.col("n"), 6))
     )

@@ -1,25 +1,54 @@
-"""Driver-facing multimodal entries (rows-only checks: the media pipeline is
-not ANSI-SQL-expressible — feature extraction runs a stubbed decoder inside
-Arrow batches — so these deliberately omit oracle_sql and the driver records
-the weaker row-count/schema check; determinism is still guaranteed by the
-seeded synthetic media table and is pytest-asserted)."""
+"""Driver-facing multimodal entries.
+
+The synthetic media table (seeded, deterministic) is staged once as a single
+parquet file that BOTH engines read — Spark via ``spark.read.parquet`` and
+the DuckDB oracle via ``read_parquet('<same path>')`` — so ``mm_media_stats``
+and ``mm_frame_sample`` get full row/schema/value-hash oracle checks.
+``mm_feature_extract`` stays rows-only: it runs the (stubbed) decoder inside
+Arrow batches, which is deliberately not ANSI-SQL-expressible; determinism is
+pytest-asserted instead."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ciff_spark.multimodal import extract_features, frame_sample, media_stats, synth_media_df
+from ciff_spark.multimodal import (
+    extract_features,
+    frame_sample,
+    media_stats,
+    stage_media_parquet,
+)
 
 N_MEDIA = 120
+SEED = 42
+FRAME_EVERY_MS = 10_000
+# one fixed path: the table is a pure function of (N_MEDIA, SEED), never of
+# sf_dir, and oracle_sql() must be a static string
+STAGED_MEDIA = "/root/repo/.staged/media_n120_s42.parquet"
+
+
+def _media(spark: SparkSession) -> DataFrame:
+    stage_media_parquet(STAGED_MEDIA, N_MEDIA, seed=SEED)
+    return spark.read.parquet(STAGED_MEDIA)
 
 
 def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_stats(synth_media_df(spark, N_MEDIA, seed=42)).orderBy("kind")
+    return media_stats(_media(spark))
+
+
+MM_MEDIA_STATS_SQL = f"""
+SELECT kind,
+       count(*)::BIGINT AS n,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       round(CAST(sum(octet_length(payload)) AS BIGINT) * 1.0 / count(*), 6) AS avg_bytes
+FROM read_parquet('{STAGED_MEDIA}')
+GROUP BY kind
+"""
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(synth_media_df(spark, N_MEDIA, seed=42))
+    feats = extract_features(_media(spark))
     # surface a deterministic scalar per row so the rows-only check still
     # pins content shape (norms ≈ 1, first component)
     return feats.select(
@@ -31,11 +60,22 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(synth_media_df(spark, N_MEDIA, seed=42), every_ms=10_000)
+    out = frame_sample(_media(spark), every_ms=FRAME_EVERY_MS)
+    return out.select(
+        "media_id", "kind", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+SELECT media_id, kind,
+       unnest(generate_series(0, duration_ms, {FRAME_EVERY_MS}))::BIGINT AS frame_ms
+FROM read_parquet('{STAGED_MEDIA}')
+WHERE kind IN ('video', 'audio')
+"""
 
 
 QUERIES: dict[str, tuple] = {
-    "mm_media_stats": (mm_media_stats, None),
+    "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
     "mm_feature_extract": (mm_feature_extract, None),
-    "mm_frame_sample": (mm_frame_sample, None),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
 }
