@@ -138,21 +138,13 @@ def _bm25_indexed(query: str, mode: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents_index(spark, sf_dir)
         reader = IndexReader(spark, index_root_for(sf_dir))
-        # over-fetch, then re-rank on ROUNDED score — the driver-facing
-        # ordering contract shared with the DuckDB oracle (see bm25_topk_sql)
-        # over-fetch bound: re-ranking on ROUNDED scores can promote a doc
-        # from below the raw-score cut only if >200 docs sit within 1e-6 of
-        # the boundary — not observed on any fixture; a fully sound variant
-        # would rank rounded inside the reader (costlier for WAND pruning)
-        out = reader.topk([(0, query)], k=K + 200, mode=mode, round_scores=False)
-        return (
-            out.select(
-                F.col("docid").alias("doc_id"),
-                F.round("score", SCORE_DECIMALS).alias("score"),
-            )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(K)
-        )
+        # round_scores=True ranks on ROUNDED scores inside the reader (heap,
+        # WAND threshold with the ½-ulp guard, final window) — the sound
+        # version of the driver/oracle ordering contract; no over-fetch
+        out = reader.topk([(0, query)], k=K, mode=mode, round_scores=True)
+        return out.select(
+            F.col("docid").alias("doc_id"), F.col("score")
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
 
     return fn
 

@@ -149,7 +149,9 @@ class IndexReader:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.store = IndexStore(root)
-        self.meta = self.store.meta(spark)
+        # meta is one row: read it driver-side with pyarrow — a topk call
+        # should cost exactly ONE Spark job, not warmup jobs for metadata
+        self.meta = self.store.meta_local()
 
     # -- helpers --------------------------------------------------------------
 
@@ -164,16 +166,24 @@ class IndexReader:
         return qpdf, sorted(qpdf["term"].unique().tolist())
 
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        """Per-term idf from ``term_stats`` — driver-side pyarrow read with a
+        term-IN predicate (row-group pruning on the sorted column), the same
+        access path LocalSearcher uses. |q| rows come back; no Spark job."""
         if not terms:
             return {}
+        import glob
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
         n = int(self.meta["num_docs"])
-        rows = (
-            self.store.read(self.spark, "term_stats")
-            .where(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: float(idf_np(int(r["df"]), n)) for r in rows}
+        tbl = ds.dataset(
+            glob.glob(self.store.path("term_stats") + "/*.parquet"), format="parquet"
+        ).to_table(columns=["term", "df"], filter=pc.field("term").isin(terms))
+        return {
+            t: float(idf_np(int(d), n))
+            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+        }
 
     # -- public API -----------------------------------------------------------
 
@@ -183,8 +193,20 @@ class IndexReader:
         k: int = 10,
         mode: str = "wand",
         round_scores: bool = False,
+        shared_theta: bool = False,
     ) -> DataFrame:
-        """Top-k per query. Returns DataFrame(qid int, docid long, score double)."""
+        """Top-k per query. Returns DataFrame(qid int, docid long, score double).
+
+        ``round_scores=True`` ranks on scores rounded to ``SCORE_DECIMALS``
+        INSIDE the kernels (heap, pruning threshold, final window) — the
+        sound version of the driver/oracle ordering contract; no over-fetch.
+
+        ``shared_theta=True`` (wand only) runs shard 0 first, collects each
+        query's k-th score, and seeds every other shard's pruning threshold
+        with it — one extra small job buying skipped blocks in all remaining
+        shards; worthwhile when shards are large, overhead when the per-job
+        fixed cost dominates (measured in bench.py).
+        """
         qpdf, terms = self._query_frame(queries)
         if not terms:
             return self.spark.createDataFrame([], "qid int, docid bigint, score double")
@@ -194,6 +216,7 @@ class IndexReader:
         if qpdf.empty:
             return self.spark.createDataFrame([], "qid int, docid bigint, score double")
         qdf = self.spark.createDataFrame(qpdf)
+        rd = SCORE_DECIMALS if round_scores else None
 
         # term-pruned scan: predicate pushdown on the term column
         post = (
@@ -206,23 +229,59 @@ class IndexReader:
         avgdl = float(self.meta["avgdl"])
 
         if mode == "exact":
-            out = self._exact(pq, sizes, avgdl, k)
+            out = self._exact(pq, sizes, avgdl, k, rd)
         elif mode == "wand":
-            out = self._wand(pq, sizes, avgdl, k)
+            if shared_theta:
+                seed_pdf = self._wand(
+                    pq.where(F.col("shard") == 0),
+                    sizes.where(F.col("shard") == 0),
+                    avgdl, k, rd,
+                ).toPandas()
+                # a query's seed is sound only if shard 0 actually yielded a
+                # FULL k (k attained scores >= its k-th) — else no floor
+                theta0 = {
+                    int(q): float(s.min())
+                    for q, s in seed_pdf.groupby("qid")["score"]
+                    if len(s) >= k
+                }
+                rest = self._wand(
+                    pq.where(F.col("shard") != 0),
+                    sizes.where(F.col("shard") != 0),
+                    avgdl, k, rd, theta0,
+                )
+                seed_df = self.spark.createDataFrame(
+                    seed_pdf, "qid int, docid bigint, score double"
+                )
+                out = self._global_topk(seed_df.unionAll(rest), k)
+            else:
+                out = self._wand(pq, sizes, avgdl, k, rd)
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        if round_scores:
-            out = out.select(
-                "qid", "docid", F.round("score", SCORE_DECIMALS).alias("score")
-            )
         return out
+
+    def _global_topk(self, scored: DataFrame, k: int) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
 
     # -- exact: decode everything, relational aggregation ---------------------
 
-    def _exact(self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int) -> DataFrame:
+    def _exact(
+        self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int,
+        round_decimals: int | None = None,
+    ) -> DataFrame:
         def score_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
-            if postings_pdf.empty or sizes_pdf.empty:
+            if postings_pdf.empty:
                 return pd.DataFrame({"qid": [], "docid": [], "contrib": []})
+            if sizes_pdf.empty:
+                # postings exist but the shard has no doclength row: the index
+                # is corrupt — fail loud, never silently truncate the top-k
+                raise ValueError(
+                    f"shard {key}: postings present but shard_sizes row missing"
+                )
             dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
             start = int(sizes_pdf["start_docid"].iloc[0])
             qids, docids, contribs = [], [], []
@@ -253,22 +312,32 @@ class IndexReader:
             .applyInPandas(score_shard, schema="qid int, docid bigint, contrib double")
         )
         scores = contrib.groupBy("qid", "docid").agg(F.sum("contrib").alias("score"))
-        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            scores.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .drop("rn")
-        )
+        if round_decimals is not None:
+            # round the COMPLETE per-doc score before ranking — the sound
+            # driver/oracle ordering contract (no raw-score over-fetch)
+            scores = scores.select(
+                "qid", "docid", F.round("score", round_decimals).alias("score")
+            )
+        return self._global_topk(scores, k)
 
     # -- wand: block-max pruned kernel per shard -------------------------------
 
-    def _wand(self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int) -> DataFrame:
+    def _wand(
+        self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int,
+        round_decimals: int | None = None,
+        theta0: dict[int, float] | None = None,
+    ) -> DataFrame:
         kk = int(k)
         avg = float(avgdl)
+        rd = round_decimals
 
         def wand_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
-            if postings_pdf.empty or sizes_pdf.empty:
+            if postings_pdf.empty:
                 return pd.DataFrame({"qid": [], "docid": [], "score": []})
+            if sizes_pdf.empty:
+                raise ValueError(
+                    f"shard {key}: postings present but shard_sizes row missing"
+                )
             dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
             start = int(sizes_pdf["start_docid"].iloc[0])
             frames = []
@@ -276,7 +345,8 @@ class IndexReader:
                 lists = [
                     (float(r.idf), list(r.blocks)) for r in qg.itertuples(index=False)
                 ]
-                d, s = wand_topk(lists, dl, start, avg, kk)
+                seed = theta0.get(int(qid)) if theta0 else None
+                d, s = wand_topk(lists, dl, start, avg, kk, rd, seed)
                 frames.append(pd.DataFrame({"qid": int(qid), "docid": d, "score": s}))
             return pd.concat(frames, ignore_index=True)
 
@@ -285,10 +355,9 @@ class IndexReader:
             .cogroup(sizes.groupBy("shard"))
             .applyInPandas(wand_shard, schema="qid int, docid bigint, score double")
         )
+        if rd is not None:
+            # canonicalize kernel-rounded doubles through the same F.round the
+            # oracle contract uses (idempotent on already-rounded values)
+            local = local.select("qid", "docid", F.round("score", rd).alias("score"))
         # global top-k: per-qid merge of per-shard top-k (tiny: ≤ k per shard)
-        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            local.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= kk)
-            .drop("rn")
-        )
+        return self._global_topk(local, kk)

@@ -95,3 +95,10 @@ class IndexStore:
     def meta(self, spark: SparkSession) -> dict:
         row = self.read(spark, "meta").first()
         return row.asDict()
+
+    def meta_local(self) -> dict:
+        """The single meta row via pyarrow — no Spark job (the Header analog
+        is one row; reading it should never schedule cluster work)."""
+        import pyarrow.parquet as papq
+
+        return papq.read_table(self.path("meta")).to_pylist()[0]

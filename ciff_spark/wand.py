@@ -43,6 +43,8 @@ def wand_topk(
     start_docid: int,
     avgdl: float,
     k: int,
+    round_decimals: int | None = None,
+    initial_theta: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -54,9 +56,24 @@ def wand_topk(
     previous block's max_docid (single-shard lists).
     dl: uint32 doclengths for the dense docid range starting at
     ``start_docid``. Returns (docids, scores) sorted by (-score, docid).
+
+    ``round_decimals``: rank (heap + threshold) on scores ROUNDED to this
+    many decimals — the driver/oracle ordering contract — making the top-k
+    sound under rounding: pruning then uses θ − ε with ε = ½·10^-d, since a
+    raw score as low as θ − ε still rounds to θ and could win a docid
+    tiebreak. Returned scores are the rounded ones.
+
+    ``initial_theta``: a known lower bound on the FINAL k-th score (e.g. the
+    k-th score of an already-processed shard — "shared θ across shards").
+    Blocks whose bound can't reach it are skipped even before this shard's
+    own heap fills. Exactness is preserved: callers only pass attained
+    scores, so ≥ k docs globally score ≥ θ₀, and ties at θ₀ survive the ε
+    guard.
     """
     if not lists or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    eps = 0.5 * 10.0 ** (-round_decimals) if round_decimals is not None else 0.0
+    theta_floor = -np.inf if initial_theta is None else float(initial_theta)
 
     # block geometry: per list, arrays of lo/hi/bound (+ prev_max for decode)
     los, his, bounds, prevs = [], [], [], []
@@ -92,7 +109,9 @@ def wand_topk(
     cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
     for t in order:
-        if len(heap) >= k and U[t] < heap[0][0]:
+        theta = heap[0][0] if len(heap) >= k else theta_floor
+        theta = max(theta, theta_floor)
+        if theta > -np.inf and U[t] < theta - eps:
             break  # all remaining intervals bounded below current k-th best
         s, e = int(starts[t]), int(ends[t])
         acc_docids: list[np.ndarray] = []
@@ -119,6 +138,8 @@ def wand_topk(
         uniq, inv = np.unique(alld, return_inverse=True)
         scores = np.zeros(len(uniq), np.float64)
         np.add.at(scores, inv, allc)
+        if round_decimals is not None:
+            scores = np.round(scores, round_decimals)
         for d_, s_ in zip(uniq.tolist(), scores.tolist()):
             if len(heap) < k:
                 heapq.heappush(heap, (s_, -d_))

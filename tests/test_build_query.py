@@ -158,6 +158,57 @@ def test_topk_matches_oracle(spark, built, mode):
         assert np.allclose(got.score, [s for _, s in exp], atol=1e-9), f"{mode} qid={qid}"
 
 
+@pytest.mark.parametrize("round_scores", [False, True])
+def test_shared_theta_equals_plain_wand(spark, built, round_scores):
+    """Seeding every shard's WAND threshold with shard 0's k-th score must be
+    a pure optimization: identical results to unseeded WAND and to exact."""
+    store, oracle, root = built
+    reader = IndexReader(spark, root)
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["qid", "score", "docid"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+
+    plain = norm(reader.topk(QUERIES, k=10, mode="wand", round_scores=round_scores))
+    seeded = norm(
+        reader.topk(QUERIES, k=10, mode="wand", round_scores=round_scores,
+                    shared_theta=True)
+    )
+    exact = norm(reader.topk(QUERIES, k=10, mode="exact", round_scores=round_scores))
+    pd.testing.assert_frame_equal(seeded, plain, atol=1e-12, rtol=0)
+    assert list(seeded.docid) == list(exact.docid)
+    assert np.allclose(seeded.score, exact.score, atol=1e-9)
+
+
+def test_rounded_rank_is_sound_on_adversarial_ties(spark, tmp_path):
+    """Many docs whose raw scores differ only below 1e-6: ranking on rounded
+    scores must break ties by docid — the exact contract the old k+200
+    over-fetch only approximated. All docs here are identical single-term
+    repeats, so every raw score is equal up to summation noise and the
+    rounded contract demands docids 0..k-1."""
+    rows = [(f"c{i:03d}", 0, "user", "tie tie tie", None) for i in range(40)]
+    df = spark.createDataFrame(
+        [(c, t, r, x, tool, None) for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    store = build_index(
+        df, str(tmp_path / "ties"),
+        config=BuildConfig(n_shards=4, n_pgroups=2, block_size=4), resume=False,
+    )
+    reader = IndexReader(spark, store.root)
+    for mode in ("exact", "wand"):
+        res = (
+            reader.topk([(0, "tie")], k=10, mode=mode, round_scores=True)
+            .toPandas()
+            .sort_values(["score", "docid"], ascending=[False, True])
+        )
+        assert list(res.docid) == list(range(10)), mode
+        assert res.score.nunique() == 1
+
+
 def test_relational_topk_matches_oracle(spark, built):
     store, oracle, _ = built
     pdf = transcripts_pdf(N_CONVS, seed=42).sort_values(["conv_id", "turn_idx"])
