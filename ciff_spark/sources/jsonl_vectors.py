@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -112,12 +112,14 @@ def build_index_from_doc_vectors(
     # first-seen dense docid: rank external ids by min(pos), over the RAW
     # rows — a doc whose every score is dropped still occupies a docid with
     # doclength 0, exactly like the reference (docid_map insert happens
-    # before the tf<=0 filter, lib.rs:1014 vs 1039). The distinct-id set is
-    # orders smaller than the postings; a rank window over it is fine up to
-    # ~10^8 ids (the two-phase rank drops in above that).
+    # before the tf<=0 filter, lib.rs:1014 vs 1039). Ranking uses the same
+    # two-phase dense rank as the transcript build (plans/rank.py): range-
+    # partitioned sort of the (small) distinct-id set + per-partition offsets
+    # — never a single-partition row_number window.
+    from ciff_spark.plans.rank import add_dense_docid
+
     ids = raw.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
-    w = Window.orderBy("first_pos", "ext_id")
-    idmap = ids.withColumn("docid", F.row_number().over(w) - 1).drop("first_pos")
+    idmap = add_dense_docid(ids, ["first_pos", "ext_id"]).drop("first_pos")
 
     rows = quantize_scores(raw, quantize)
 

@@ -72,6 +72,31 @@ def test_jsonl_ingest_quantized(spark, jsonl, tmp_path):
     assert post["kiwi"][1][0] == 255
 
 
+def test_jsonl_idmap_partition_invariant(spark, tmp_path):
+    """The first-seen id rank is a two-phase dense rank (plans/rank.py), not
+    a single-partition window: the assigned docids must not depend on input
+    partitioning / shuffle parallelism."""
+    docs = [{"id": f"d{i:04d}", "vector": {"t": float(i % 7 + 1)}} for i in range(300)]
+    p = tmp_path / "many.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+    maps = []
+    for shuffle_parts in (2, 16):
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+        try:
+            store = build_index_from_doc_vectors(
+                spark, str(p), str(tmp_path / f"idx{shuffle_parts}"),
+                n_shards=3, n_pgroups=2,
+            )
+            maps.append(
+                {r["ext_id"]: r["docid"] for r in store.read(spark, "docs").collect()}
+            )
+        finally:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    assert maps[0] == maps[1]
+    # one file, ordered lines: first-seen == line order
+    assert maps[0] == {f"d{i:04d}": i for i in range(300)}
+
+
 def test_jsonl_sum_tf_mode(spark, jsonl, tmp_path):
     store = build_index_from_doc_vectors(
         spark, jsonl, str(tmp_path / "idxs"), doclength_mode="sum_tf",
