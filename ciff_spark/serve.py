@@ -110,14 +110,16 @@ class FreshSearcher(LocalSearcher):
         from ciff_spark.functions.codec import decode_postings
 
         self._decode = decode_postings
-        seg_doc_files = _glob.glob(f"{self.root}/seg_docs/*.parquet")
+        # one subdir per committed segment batch (streaming.incremental's
+        # idempotent layout); the segment id is a data column
+        seg_doc_files = _glob.glob(f"{self.root}/seg_docs/seg_*/*.parquet")
         if seg_doc_files:
             segd = pq.read_table(seg_doc_files).to_pylist()
             segd.sort(key=lambda r: r["docid"])
             self.seg_dl = {int(r["docid"]): int(r["doclength"]) for r in segd}
         else:
             self.seg_dl = {}
-        seg_post_files = _glob.glob(f"{self.root}/seg_postings/*.parquet")
+        seg_post_files = _glob.glob(f"{self.root}/seg_postings/seg_*/*.parquet")
         self._seg_rows = (
             pq.read_table(seg_post_files, columns=["term", "segment", "blocks"]).to_pylist()
             if seg_post_files

@@ -4,10 +4,24 @@ New transcript turns arrive as files in a directory (stand-in for a Kafka /
 Iceberg CDC feed). ``foreachBatch`` assigns each micro-batch a contiguous
 docid range continuing from the current index size (preserving the dense
 0..N-1 DocRecord contract across batches — /root/reference/src/lib.rs:545-547),
-block-encodes the batch's postings as a SEGMENT, and appends to segment
-tables. Because batch docid ranges are disjoint and increasing, a per-term
-merge across segments is — like the shard merge — pure concatenation in
-segment order; ``compact_segments`` folds segments into the base tables.
+block-encodes the batch's postings DISTRIBUTED (skinny tf rows repartition by
+term hash and encode in one vectorized pass per partition — the same shape as
+the batch build; the micro-batch never collects to the driver), and commits
+them as a SEGMENT. Because batch docid ranges are disjoint and increasing, a
+per-term merge across segments is — like the shard merge — pure concatenation
+in segment order; ``compact_segments`` folds segments into the base tables.
+
+Idempotent commit protocol (foreachBatch is AT-LEAST-once — a crash between
+writes or before the checkpoint commit re-runs the batch):
+
+1. each batch writes into its OWN subdirectories ``seg_postings/seg_<id>``
+   and ``seg_docs/seg_<id>`` — never blind appends to shared dirs;
+2. the docs subdir is written LAST and its ``_SUCCESS`` marker is the commit
+   point: a retry that finds it returns without writing (exact no-op);
+3. a retry that does not (crash after postings, before docs) deletes both
+   subdirs and rewrites — the docid base derives from ``max(docid)+1`` over
+   base docs + COMMITTED segments only, so the half-written attempt never
+   shifts the range and the rewrite lands byte-identical.
 
 Readers that want fresh results use ``ciff_spark.serve.FreshSearcher``, which
 recomputes collection statistics over base ∪ segments and scores both
@@ -20,6 +34,10 @@ build / the oracle over the same rows is asserted in tests (the metamorphic
 
 from __future__ import annotations
 
+import glob as _glob
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +46,7 @@ from pyspark.sql import functions as F
 from ciff_spark.build import POSTINGS_SCHEMA, BuildConfig, build_index
 from ciff_spark.functions.codec import encode_many
 from ciff_spark.functions.tokenizer import tokenize_expr
+from ciff_spark.plans.rank import add_dense_docid
 from ciff_spark.store import IndexStore
 
 SEG_POSTINGS = "seg_postings"
@@ -39,15 +58,48 @@ TRANSCRIPT_DDL = (
 )
 
 
-def _current_num_docs(spark: SparkSession, store: IndexStore) -> int:
-    import os
+def read_segments(spark: SparkSession, store: IndexStore, table: str) -> DataFrame:
+    """Read all segment subdirs of ``seg_postings``/``seg_docs`` (plain
+    nested dirs, one per committed batch; ``segment`` is a data column)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(store.path(table))
+    )
 
-    n = 0
-    if store.exists("docs"):
-        n += store.read(spark, "docs").count()
-    if os.path.isdir(store.path(SEG_DOCS)):
-        n += store.read(spark, SEG_DOCS).count()
-    return n
+
+def _committed_segment_dirs(store: IndexStore) -> list[str]:
+    return sorted(
+        d
+        for d in _glob.glob(f"{store.path(SEG_DOCS)}/seg_*")
+        if os.path.exists(f"{d}/_SUCCESS")
+    )
+
+
+def _next_docid(store: IndexStore) -> int:
+    """1 + max docid over base docs and COMMITTED segments — driver-side
+    pyarrow (footer metadata / one skinny column), no Spark job. Counting
+    rows instead (the old scheme) double-allocates after a crash that left a
+    half-written segment behind."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    hi = -1
+    if store.exists("meta"):
+        hi = int(store.meta_local()["num_docs"]) - 1  # base docs are dense 0..N-1
+    elif store.exists("docs"):
+        hi = (
+            sum(
+                papq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(store.path("docs") + "/*.parquet")
+            )
+            - 1
+        )
+    for d in _committed_segment_dirs(store):
+        files = _glob.glob(f"{d}/*.parquet")
+        if files:
+            t = papq.read_table(files, columns=["docid"])
+            if t.num_rows:
+                hi = max(hi, int(pc.max(t["docid"]).as_py()))
+    return hi + 1
 
 
 def append_batch(
@@ -58,50 +110,67 @@ def append_batch(
     id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     text_col: str = "text",
     block_size: int = 128,
+    n_encode_partitions: int = 4,
 ) -> None:
-    """Index one micro-batch as a segment (called from foreachBatch)."""
-    base = _current_num_docs(spark, store)
-    avgdl = float(store.meta(spark)["avgdl"]) if store.exists("meta") else 0.0
-
-    pdf = batch_df.select(*id_cols, text_col).toPandas()
-    if pdf.empty:
+    """Index one micro-batch as a segment (called from foreachBatch).
+    Idempotent under at-least-once retries — see the module docstring."""
+    docs_dir = f"{store.path(SEG_DOCS)}/seg_{int(batch_id)}"
+    post_dir = f"{store.path(SEG_POSTINGS)}/seg_{int(batch_id)}"
+    if os.path.exists(f"{docs_dir}/_SUCCESS"):
+        return  # this batch already committed fully — retried delivery
+    shutil.rmtree(post_dir, ignore_errors=True)
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    if batch_df.isEmpty():
         return
-    pdf = pdf.sort_values(list(id_cols), kind="mergesort").reset_index(drop=True)
-    pdf["docid"] = np.arange(base, base + len(pdf), dtype=np.int64)
-    sdf = spark.createDataFrame(pdf)
+    base = _next_docid(store)
 
-    toks = sdf.select("docid", tokenize_expr(text_col).alias("tokens"))
-    docs = toks.select(
-        "docid", F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
-    ).withColumn("segment", F.lit(int(batch_id)))
-    docs_pdf = docs.toPandas()
+    ranked = add_dense_docid(batch_df.select(*id_cols, text_col), list(id_cols))
+    toks = ranked.select(
+        (F.col("docid") + F.lit(base)).alias("docid"),
+        tokenize_expr(text_col).alias("tokens"),
+    ).persist()
 
     tf = (
         toks.select("docid", F.explode("tokens").alias("term"))
         .groupBy("term", "docid")
         .agg(F.count("*").alias("tf"))
-        .sort("term", "docid")
-        .toPandas()
     )
+    bs = int(block_size)
+
     # segments always carry dl-FREE bounds: the collection avgdl keeps moving
     # as batches arrive, and a bound computed against a stale (lower) avgdl
     # could undershoot the true tfnorm — dl-free stays a true upper bound
     # under any future avgdl; compaction re-encodes with exact bounds
-    rows = encode_many(
-        tf["term"].to_numpy(),
-        np.zeros(len(tf), np.int64),
-        tf["docid"].to_numpy(),
-        tf["tf"].to_numpy(),
-        None,
-        avgdl or 1.0,
-        block_size,
+    def encode_part(iterator):
+        pdfs = [p for p in iterator if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        rows = encode_many(
+            pdf["term"].to_numpy(),
+            np.zeros(len(pdf), np.int64),
+            pdf["docid"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            None,
+            1.0,
+            bs,
+        )
+        yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
+
+    nparts = max(1, int(n_encode_partitions))
+    seg = (
+        tf.withColumn("pgroup", F.pmod(F.hash("term"), F.lit(nparts)))
+        .repartition(nparts, "pgroup")
+        .sortWithinPartitions("pgroup", "term", "docid")
+        .mapInPandas(encode_part, schema=POSTINGS_SCHEMA)
+        .withColumn("segment", F.lit(int(batch_id)))
     )
-    seg = pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
-    seg["segment"] = int(batch_id)
-    spark.createDataFrame(seg, POSTINGS_SCHEMA + ", segment int").write.mode(
-        "append"
-    ).parquet(store.path(SEG_POSTINGS))
-    docs.write.mode("append").parquet(store.path(SEG_DOCS))
+    seg.write.mode("overwrite").parquet(post_dir)
+    docs = toks.select(
+        "docid", F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
+    ).withColumn("segment", F.lit(int(batch_id)))
+    docs.write.mode("overwrite").parquet(docs_dir)  # commit marker — LAST
+    toks.unpersist()
 
 
 def start_incremental_index(

@@ -10,6 +10,8 @@ from ciff_spark.store import IndexStore
 from ciff_spark.streaming.incremental import (
     SEG_DOCS,
     SEG_POSTINGS,
+    append_batch,
+    read_segments,
     start_incremental_index,
     streaming_windowed_events,
 )
@@ -40,7 +42,7 @@ def test_incremental_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     store = IndexStore(root)
-    segs = store.read(spark, SEG_POSTINGS).collect()
+    segs = read_segments(spark, store, SEG_POSTINGS).collect()
     got = defaultdict(list)
     for r in sorted(segs, key=lambda r: r["segment"]):
         d, t = decode_postings([b.asDict() for b in r["blocks"]])
@@ -64,8 +66,51 @@ def test_incremental_equals_batch(spark, tmp_path):
         np.testing.assert_array_equal(gd, ed, err_msg=term)
         np.testing.assert_array_equal(gt, et, err_msg=term)
     # seg docs are dense 0..N-1 overall
-    docs = store.read(spark, SEG_DOCS).orderBy("docid").collect()
+    docs = read_segments(spark, store, SEG_DOCS).orderBy("docid").collect()
     assert [r["docid"] for r in docs] == list(range(len(pdf)))
+
+
+def _seg_snapshot(spark, store):
+    post = (
+        read_segments(spark, store, SEG_POSTINGS)
+        .orderBy("segment", "term", "shard")
+        .toPandas()
+        .drop(columns=["blocks"])
+    )
+    docs = read_segments(spark, store, SEG_DOCS).orderBy("docid").toPandas()
+    return post, docs
+
+
+def test_append_batch_idempotent_under_retries(spark, tmp_path):
+    """foreachBatch is at-least-once: a redelivered batch_id must be a no-op,
+    and a crash BETWEEN the postings and docs writes must heal on retry with
+    no duplicated postings and no shifted docid range."""
+    import shutil as sh
+
+    pdf = transcripts_pdf(6, seed=5).sort_values(["conv_id", "turn_idx"])
+    cut = len(pdf) // 2
+    store = IndexStore(str(tmp_path / "retry_idx"))
+    b0 = spark.createDataFrame(pdf.iloc[:cut])
+    b1 = spark.createDataFrame(pdf.iloc[cut:])
+
+    append_batch(spark, store, b0, 0)
+    snap0 = _seg_snapshot(spark, store)
+    # full redelivery of a committed batch: exact no-op
+    append_batch(spark, store, b0, 0)
+    snap1 = _seg_snapshot(spark, store)
+    assert snap0[0].equals(snap1[0]) and snap0[1].equals(snap1[1])
+
+    # crash between the two writes of batch 1: postings committed, docs not
+    append_batch(spark, store, b1, 1)
+    sh.rmtree(f"{store.path(SEG_DOCS)}/seg_1")
+    append_batch(spark, store, b1, 1)  # retry heals
+    post, docs = _seg_snapshot(spark, store)
+    # dense docids across both segments, no duplicates
+    assert list(docs["docid"]) == list(range(len(pdf)))
+    # postings of batch 1 exist exactly once
+    assert (post["segment"] == 1).sum() > 0
+    dup = post.groupby(["segment", "term", "shard"]).size()
+    assert (dup == 1).all()
 
 
 def test_streaming_windowed_events(spark, tmp_path):
