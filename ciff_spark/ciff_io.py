@@ -16,7 +16,17 @@ Semantics honored (cited from the reference implementation):
 
 This is an EXCHANGE path, not our store: export walks the distributed index
 (shard-ordered concat per term) into one local file; import turns a CIFF file
-into DataFrames suitable for ``IndexStore``. Both stream message-at-a-time.
+into DataFrames suitable for ``IndexStore``. The write path streams
+message-at-a-time; on the read side ``iter_ciff`` streams decoded messages
+over an mmap (constant memory), while ``read_ciff`` is the materializing
+convenience wrapper (lists in RAM — fine for exchange-file sizes, use
+``iter_ciff`` for anything big).
+
+Partial export (proto:16-21 — the load-bearing ``num_*`` < ``total_*``
+distinction): ``export_index_to_ciff(..., terms=[...])`` writes only the
+requested posting lists while the header keeps the COLLECTION-global
+statistics (total vocabulary size, total docs, total terms, avgdl), so a
+query-term-only file still scores BM25 identically to the full index.
 """
 
 from __future__ import annotations
@@ -254,25 +264,54 @@ def _dec_doc_record(buf: memoryview) -> CiffDocRecord:
 # file-level read/write (length-delimited stream)
 # ---------------------------------------------------------------------------
 
+def iter_ciff(path: str):
+    """Stream decoded messages over an mmap: yields ``("header", CiffHeader)``
+    once, then ``("postings", CiffPostingsList)`` × num_postings_lists, then
+    ``("doc", CiffDocRecord)`` × num_docs. Constant memory beyond the page
+    cache — the import analog of the reference's CodedInputStream loop
+    (/root/reference/src/lib.rs:504-513)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            data = memoryview(mm)
+            pos = 0
+
+            def next_msg():
+                nonlocal pos
+                ln, p = _read_varint(data, pos)
+                msg = data[p : p + ln]
+                pos = p + ln
+                return msg
+
+            header = _dec_header(next_msg())
+            yield "header", header
+            for _ in range(header.num_postings_lists):
+                yield "postings", _dec_postings_list(next_msg())
+            for i in range(header.num_docs):
+                d = _dec_doc_record(next_msg())
+                if d.docid != i:  # dense-order contract, ≙ lib.rs:545-547
+                    raise ValueError(f"doc records out of order: got {d.docid} at {i}")
+                yield "doc", d
+        finally:
+            del data
+            mm.close()
+
+
 def read_ciff(path: str) -> tuple[CiffHeader, list[CiffPostingsList], list[CiffDocRecord]]:
-    data = memoryview(open(path, "rb").read())
-    pos = 0
-
-    def next_msg():
-        nonlocal pos
-        ln, p = _read_varint(data, pos)
-        msg = data[p : p + ln]
-        pos = p + ln
-        return msg
-
-    header = _dec_header(next_msg())
-    pls = [_dec_postings_list(next_msg()) for _ in range(header.num_postings_lists)]
-    docs = []
-    for i in range(header.num_docs):
-        d = _dec_doc_record(next_msg())
-        if d.docid != i:  # dense-order contract, ≙ lib.rs:545-547
-            raise ValueError(f"doc records out of order: got {d.docid} at {i}")
-        docs.append(d)
+    """Materializing wrapper over ``iter_ciff`` (whole file decoded into
+    lists — convenience for tests/small exchange files)."""
+    header = None
+    pls: list[CiffPostingsList] = []
+    docs: list[CiffDocRecord] = []
+    for kind, msg in iter_ciff(path):
+        if kind == "header":
+            header = msg
+        elif kind == "postings":
+            pls.append(msg)
+        else:
+            docs.append(msg)
     return header, pls, docs
 
 
@@ -301,10 +340,24 @@ def write_ciff(
 # index <-> CIFF bridges
 # ---------------------------------------------------------------------------
 
-def export_index_to_ciff(spark, index_root: str, out_path: str, id_sep: str = "/") -> CiffHeader:
+def export_index_to_ciff(
+    spark,
+    index_root: str,
+    out_path: str,
+    id_sep: str = "/",
+    terms: list[str] | None = None,
+) -> CiffHeader:
     """Walk the distributed index into one CIFF file (terms lex-sorted,
-    per-term shards concatenated in shard order, docids re-gapped)."""
+    per-term shards concatenated in shard order, docids re-gapped).
+
+    ``terms``: PARTIAL export — write only these posting lists while keeping
+    collection-global header statistics (``num_postings_lists`` < ``
+    total_postings_lists``, proto:16-21): the file carries just a query set's
+    lists yet any BM25 scorer reading it sees the full-collection N, avgdl
+    and vocabulary size. DocRecords are always exported in full (doclengths
+    are per-doc scorer state)."""
     import numpy as np
+    from pyspark.sql import functions as F
 
     from ciff_spark.functions.codec import decode_postings
     from ciff_spark.store import IndexStore
@@ -314,7 +367,11 @@ def export_index_to_ciff(spark, index_root: str, out_path: str, id_sep: str = "/
     docs = store.read(spark, "docs").orderBy("docid").collect()
     id_cols = [c for c in docs[0].asDict() if c not in ("docid", "doclength")] if docs else []
 
-    post_rows = store.read(spark, "postings").orderBy("term", "shard").collect()
+    post = store.read(spark, "postings")
+    if terms is not None:
+        # term-pruned scan: the partial export never decodes unrequested lists
+        post = post.where(F.col("term").isin(sorted(set(terms))))
+    post_rows = post.orderBy("term", "shard").collect()
     pls: list[CiffPostingsList] = []
     cur: CiffPostingsList | None = None
     last_doc = 0

@@ -104,3 +104,53 @@ def test_export_import_our_index(spark, tmp_path):
             exp[(r["term"], dd)] = tt
     assert got == exp
     assert docs_df.count() == meta["num_docs"]
+
+
+def test_partial_export_preserves_global_stats(spark, tmp_path):
+    """num_* < total_* (proto:16-21): a query-term-only export must carry the
+    FULL collection statistics and byte-identical posting lists for the
+    exported terms, plus the complete DocRecord stream."""
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 12, seed=5, partitions=3)
+    root = str(tmp_path / "idx")
+    store = build_index(df, root, config=BuildConfig(n_shards=3, n_pgroups=4), resume=False)
+    meta = store.meta(spark)
+
+    full_path = str(tmp_path / "full.ciff")
+    export_index_to_ciff(spark, root, full_path)
+    _, full_pls, full_docs = read_ciff(full_path)
+    subset = sorted({pl.term for pl in full_pls})[:3]
+
+    part_path = str(tmp_path / "partial.ciff")
+    ph = export_index_to_ciff(spark, root, part_path, terms=subset)
+    h2, pls2, docs2 = read_ciff(part_path)
+
+    # header: partial counts, global totals preserved
+    assert h2.num_postings_lists == len(subset) < h2.total_postings_lists
+    assert h2.total_postings_lists == meta["num_terms"]
+    assert h2.num_docs == h2.total_docs == meta["num_docs"]
+    assert h2.total_terms_in_collection == meta["total_terms"]
+    assert h2.average_doclength == ph.average_doclength
+
+    # exported lists identical to the same lists in the full export
+    by_term = {pl.term: pl for pl in full_pls}
+    assert [pl.term for pl in pls2] == subset
+    for pl in pls2:
+        assert pl == by_term[pl.term]
+    # complete doc records (scorer state travels with the partial file)
+    assert docs2 == full_docs
+
+
+def test_iter_ciff_streams_toy():
+    """The streaming reader yields the same messages as the materializer."""
+    from ciff_spark.ciff_io import iter_ciff
+
+    header, pls, docs = read_ciff(TOY)
+    kinds = {"header": [], "postings": [], "doc": []}
+    for kind, msg in iter_ciff(TOY):
+        kinds[kind].append(msg)
+    assert kinds["header"] == [header]
+    assert kinds["postings"] == pls
+    assert kinds["doc"] == docs
