@@ -108,6 +108,12 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
     sec, _ = _timed(lambda: reader.topk(batch, k=10, mode="exact").count())
     queries["bm25_exact_batch20"] = round(sec, 3)
 
+    # shared-θ A/B: seed every shard's WAND threshold from shard 0's k-th
+    # score (one extra small job; pays off when shards are big — reported,
+    # not assumed)
+    sec, _ = _timed(lambda: reader.topk(batch, k=10, mode="wand", shared_theta=True).count())
+    queries["bm25_wand_shared_theta_batch20"] = round(sec, 3)
+
     # per-query latency distribution: one Spark job per query (the honest
     # single-query serving cost in local mode), p50/p95 over 10 queries
     lats = []

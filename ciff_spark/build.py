@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_arrow_batch
 from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
-from ciff_spark.plans.rank import add_dense_docid
+from ciff_spark.plans.rank import NotDenseWithinGroups, add_dense_docid, add_grouped_docid
 from ciff_spark.store import META_SCHEMA, IndexStore
 
 
@@ -57,6 +57,9 @@ class BuildConfig:
     rank_partitions: int | None = None
     encode_partitions: int | None = None  # encode-stage parallelism (default 2×cores)
     input_sorted: bool = False  # input partitions already ordered by id_cols
+    two_level_rank: bool = True  # grouped docid = conv offset + turn_idx when
+                                 # turn_idx is dense per conv: the wide rows
+                                 # never range-shuffle (falls back if not)
     dl_broadcast_max_docs: int = 5_000_000  # exact block bounds via dl broadcast up to here
     fail_after_batches: int | None = None  # test hook: simulate a crash mid-build
 
@@ -109,10 +112,20 @@ def build_index(
             raise ValueError(f"docid_col {docid_col!r} is not dense 0..N-1: {chk}")
         persisted = None
     else:
-        ranked = add_dense_docid(
-            base, list(id_cols), cfg.rank_partitions, assume_sorted=cfg.input_sorted
-        )
-        persisted = ranked
+        ranked = None
+        persisted = None
+        if cfg.two_level_rank and len(id_cols) == 2 and not cfg.input_sorted:
+            try:
+                # two-level rank: only the skinny (conv, size) table shuffles;
+                # the wide text rows take a broadcast join + narrow projection
+                ranked = add_grouped_docid(base, id_cols[0], id_cols[1])
+            except NotDenseWithinGroups:
+                ranked = None  # e.g. gappy turn_idx — take the generic rank
+        if ranked is None:
+            ranked = add_dense_docid(
+                base, list(id_cols), cfg.rank_partitions, assume_sorted=cfg.input_sorted
+            )
+            persisted = ranked
 
     # materialize (docid, id_cols, tokens) ONCE: both the docs stage and the
     # postings stage read it, so the regex tokenizer runs a single pass and
@@ -129,14 +142,22 @@ def build_index(
         *[c for c in id_cols if c in toks.columns],
         F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength"),
     )
-    stats_src = store.read(spark, "docs") if store.exists("docs") else dlen
-    stats = stats_src.agg(
-        F.count("*").alias("n"), F.sum("doclength").alias("tt")
-    ).first()
-    num_docs = int(stats["n"])
-    total_terms = int(stats["tt"] or 0)
-    avgdl = total_terms / num_docs if num_docs else 0.0
-    shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
+    if store.exists("meta"):
+        # resumed build past the stats point: the Header row already holds
+        # them — driver-side read, no Spark job
+        m = store.meta_local()
+        num_docs, total_terms = int(m["num_docs"]), int(m["total_terms"])
+        avgdl = float(m["avgdl"])
+        shard_size = int(m["shard_size"])
+    else:
+        stats_src = store.read(spark, "docs") if store.exists("docs") else dlen
+        stats = stats_src.agg(
+            F.count("*").alias("n"), F.sum("doclength").alias("tt")
+        ).first()
+        num_docs = int(stats["n"])
+        total_terms = int(stats["tt"] or 0)
+        avgdl = total_terms / num_docs if num_docs else 0.0
+        shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
 
     # docs + shard_sizes depend only on the token cache — write them from
     # driver threads CONCURRENTLY with the postings job (Spark schedules
@@ -153,6 +174,7 @@ def build_index(
 
         side_futures.append(pool.submit(_write_docs))
 
+    ss_future = None
     if not store.exists("shard_sizes"):
         ssz = shard_size
 
@@ -180,7 +202,8 @@ def build_index(
             store.write("shard_sizes", packed)
             return ("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done")
 
-        side_futures.append(pool.submit(_write_shard_sizes))
+        ss_future = pool.submit(_write_shard_sizes)
+        side_futures.append(ss_future)
 
     # ---- stage: postings (pgroup-batched, resumable) ------------------------
     # tokenize → hash-agg tf (map-side combine) → repartition skinny
@@ -207,12 +230,13 @@ def build_index(
 
             # exact per-block BM25 bounds need dl[docid]; broadcast the dense
             # doclength array when it fits (4 B/doc), else fall back to the
-            # dl-free bound (true but looser) — the 10^12-doc path
-            if num_docs <= cfg.dl_broadcast_max_docs:
-                dl_pdf = dlen.select("docid", "doclength").toPandas()
-                dl_arr = np.zeros(num_docs, np.uint32)
-                dl_arr[dl_pdf["docid"].to_numpy()] = dl_pdf["doclength"].to_numpy()
-                dl_bc = spark.sparkContext.broadcast(dl_arr)
+            # dl-free bound (true but looser) — the 10^12-doc path. The array
+            # comes from the shard_sizes table (already-packed u32 runs) via
+            # a driver-side pyarrow read — no extra Spark job
+            if num_docs and num_docs <= cfg.dl_broadcast_max_docs:
+                if ss_future is not None:
+                    ss_future.result()  # packed concurrently; wait for commit
+                dl_bc = spark.sparkContext.broadcast(_dl_array(store, num_docs))
             else:
                 dl_bc = None
 
@@ -322,12 +346,14 @@ def build_index(
 
     # ---- stage: meta (≙ CIFF Header) ----------------------------------------
     if not store.exists("meta"):
-        num_terms = store.read(spark, "term_stats").count()
-        meta = spark.createDataFrame(
-            [(num_docs, num_terms, total_terms, avgdl, shard_size, cfg.block_size, description)],
-            META_SCHEMA,
+        # num_terms = term_stats row count straight from parquet footers
+        # (driver-side metadata, no job); the single Header row writes
+        # driver-side too
+        num_terms = _table_num_rows(store, "term_stats")
+        store.write_meta_local(
+            num_docs, num_terms, total_terms, avgdl, shard_size, cfg.block_size,
+            description,
         )
-        store.write("meta", meta)
 
     if pending_lineage:
         _lineage_rows(store, spark, pending_lineage)
@@ -337,29 +363,89 @@ def build_index(
     return store
 
 
-def _lineage_rows(store, spark, rows: list[tuple]) -> None:
-    df = spark.createDataFrame(
-        rows,
-        "stage string, partition_id int, rows bigint, postings bigint, "
-        "bytes bigint, wall_ms bigint, status string",
-    )
-    # one driver-local file append per batch — no Spark job fan-out
-    df.coalesce(1).write.mode("append").parquet(store.path("_lineage"))
+_LINEAGE_FIELDS = ("stage", "partition_id", "rows", "postings", "bytes", "wall_ms", "status")
 
+
+def _lineage_rows(store, spark, rows: list[tuple]) -> None:
+    """Append manifest rows. The rows live on the driver already — write the
+    parquet file directly with pyarrow (zero Spark jobs; a lineage append
+    must never cost a scheduler round-trip)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    cols = list(zip(*rows))
+    schema = pa.schema(
+        [
+            ("stage", pa.string()),
+            ("partition_id", pa.int32()),
+            ("rows", pa.int64()),
+            ("postings", pa.int64()),
+            ("bytes", pa.int64()),
+            ("wall_ms", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
+    )
+    d = store.path("_lineage")
+    os.makedirs(d, exist_ok=True)
+    papq.write_table(tbl, f"{d}/lineage-{uuid.uuid4().hex[:12]}.parquet")
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:
+    """Completed-pgroup set from the lineage manifests — driver-side pyarrow
+    (the resume check runs on EVERY build call; it must not schedule jobs)."""
+    import glob
     import os
+
+    import pyarrow.parquet as papq
 
     if not os.path.isdir(store.path("_lineage")):
         return set()
-    rows = (
-        store.read(spark, "_lineage")
-        .where((F.col("stage") == "postings") & (F.col("status") == "done"))
-        .select("partition_id")
-        .collect()
+    done: set[int] = set()
+    for f in glob.glob(store.path("_lineage") + "/*.parquet"):
+        t = papq.read_table(f, columns=["stage", "partition_id", "status"])
+        for stage, pid, status in zip(
+            t["stage"].to_pylist(), t["partition_id"].to_pylist(), t["status"].to_pylist()
+        ):
+            if stage == "postings" and status == "done":
+                done.add(int(pid))
+    return done
+
+
+def _table_num_rows(store: IndexStore, table: str) -> int:
+    """Row count from parquet footers — metadata only, no data read."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    return sum(
+        papq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(store.path(table) + "/**/*.parquet", recursive=True)
     )
-    return {int(r["partition_id"]) for r in rows}
+
+
+def _dl_array(store: IndexStore, num_docs: int) -> np.ndarray:
+    """Dense uint32 doclength array reassembled from shard_sizes' packed
+    runs — driver-side pyarrow read of n_shards skinny rows."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(
+        glob.glob(store.path("shard_sizes") + "/*.parquet"),
+        columns=["start_docid", "count", "dl_bin"],
+    )
+    dl = np.zeros(num_docs, np.uint32)
+    for s, c, b in zip(
+        t["start_docid"].to_pylist(), t["count"].to_pylist(), t["dl_bin"].to_pylist()
+    ):
+        dl[s : s + c] = np.frombuffer(b, "<u4")
+    return dl
 
 
 def _clean_partial_pgroups(store: IndexStore, todo: list[int]) -> None:

@@ -91,3 +91,97 @@ def add_dense_docid(
             yield pdf
 
     return sdf.mapInPandas(assign, out_schema)
+
+
+class NotDenseWithinGroups(ValueError):
+    """The grouped-rank precondition failed (idx not dense 0..n-1 per group)."""
+
+
+def add_grouped_docid(
+    df: DataFrame,
+    group_col: str,
+    idx_col: str,
+    docid_col: str = "docid",
+    max_driver_groups: int = 5_000_000,
+) -> DataFrame:
+    """Two-level dense docid for GROUPED inputs: when ``idx_col`` is already
+    dense 0..n-1 within each ``group_col`` (true for transcript turns), the
+    global rank over (group, idx) is ``offset(group) + idx`` with offsets the
+    exclusive prefix sum of group sizes in group order.
+
+    This removes the wide-row range shuffle entirely — the only shuffled data
+    is the skinny (group, size) table; the big frame takes a broadcast join
+    and a narrow projection. Raises :class:`NotDenseWithinGroups` when the
+    precondition fails (callers fall back to :func:`add_dense_docid`).
+
+    Scale: ≤ ``max_driver_groups`` groups → offsets computed on the driver
+    and broadcast. Above that, offsets come from the same two-phase pattern
+    as :func:`add_dense_docid` run on the SIZES table (range shuffle of one
+    skinny row per group), then a shuffle join back on ``group_col`` — on a
+    real warehouse the input would be bucketed by ``group_col`` so even that
+    join is co-located.
+    """
+    spark = df.sparkSession
+    sizes = df.groupBy(group_col).agg(
+        F.count("*").alias("_n"),
+        F.min(idx_col).alias("_lo"),
+        F.max(idx_col).alias("_hi"),
+    )
+    n_groups = sizes.count()
+    if n_groups <= max_driver_groups:
+        rows = sizes.collect()
+        rows.sort(key=lambda r: r[group_col])
+        offsets, acc = [], 0
+        for r in rows:
+            if not (r["_lo"] == 0 and r["_hi"] == r["_n"] - 1):
+                raise NotDenseWithinGroups(
+                    f"group {r[group_col]!r}: idx range [{r['_lo']},{r['_hi']}] "
+                    f"with {r['_n']} rows is not dense 0..n-1"
+                )
+            offsets.append((r[group_col], acc))
+            acc += int(r["_n"])
+        gtype = df.schema[group_col].dataType.simpleString()
+        odf = spark.createDataFrame(offsets, f"{group_col} {gtype}, _goff long")
+        joined = df.join(F.broadcast(odf), group_col)
+    else:
+        bad = sizes.where((F.col("_lo") != 0) | (F.col("_hi") != F.col("_n") - 1))
+        if bad.take(1):
+            raise NotDenseWithinGroups("some groups are not dense 0..n-1")
+        # distributed exclusive prefix sum of sizes in group order: the same
+        # two-phase trick as add_dense_docid, accumulating _n instead of 1
+        n = spark.sparkContext.defaultParallelism
+        ssz = sizes.repartitionByRange(n, F.col(group_col)).sortWithinPartitions(
+            group_col
+        )
+        ssz = ssz.persist()
+        psums = (
+            ssz.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.sum("_n").alias("_s"))
+            .collect()
+        )
+        pmap = {int(r["_pid"]): int(r["_s"]) for r in psums}
+        poff: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(pmap):
+            poff[pid] = acc
+            acc += pmap[pid]
+        bc = spark.sparkContext.broadcast(poff)
+
+        def local_prefix(iterator):
+            from pyspark import TaskContext
+
+            base = bc.value.get(TaskContext.get().partitionId(), 0)
+            seen = 0
+            for pdf in iterator:
+                pdf = pdf.copy()
+                csum = pdf["_n"].to_numpy(np.int64).cumsum()
+                pdf["_goff"] = base + seen + csum - pdf["_n"].to_numpy(np.int64)
+                seen += int(csum[-1]) if len(csum) else 0
+                yield pdf[[group_col, "_goff"]]
+
+        gtype = df.schema[group_col].dataType.simpleString()
+        odf = ssz.mapInPandas(local_prefix, f"{group_col} {gtype}, _goff long")
+        joined = df.join(odf, group_col)
+    return joined.withColumn(
+        docid_col, (F.col("_goff") + F.col(idx_col).cast("long")).cast("long")
+    ).drop("_goff")

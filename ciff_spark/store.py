@@ -102,3 +102,32 @@ class IndexStore:
         import pyarrow.parquet as papq
 
         return papq.read_table(self.path("meta")).to_pylist()[0]
+
+    def write_meta_local(
+        self, num_docs: int, num_terms: int, total_terms: int, avgdl: float,
+        shard_size: int, block_size: int, description: str,
+    ) -> None:
+        """Write the single Header row driver-side (pyarrow, atomic rename,
+        Spark-readable types per META_SCHEMA) — one row must not cost a job."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        tbl = pa.table(
+            {
+                "num_docs": pa.array([int(num_docs)], pa.int64()),
+                "num_terms": pa.array([int(num_terms)], pa.int64()),
+                "total_terms": pa.array([int(total_terms)], pa.int64()),
+                "avgdl": pa.array([float(avgdl)], pa.float64()),
+                "shard_size": pa.array([int(shard_size)], pa.int64()),
+                "block_size": pa.array([int(block_size)], pa.int32()),
+                "description": pa.array([str(description)], pa.string()),
+            }
+        )
+        final = self.path("meta")
+        tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        papq.write_table(tbl, f"{tmp}/part-00000.parquet")
+        open(f"{tmp}/_SUCCESS", "w").close()
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)

@@ -78,3 +78,55 @@ def test_dim_join_broadcasts(spark):
 
     out = rel_nation_revenue(spark, "/root/testdata/sf0.001")
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_grouped_rank_matches_generic_rank(spark):
+    """Two-level grouped docid (offset(conv) + turn_idx) must equal the
+    generic two-phase dense rank over (conv_id, turn_idx) — on both the
+    driver-offsets path and the distributed prefix-sum path."""
+    from ciff_spark.plans.rank import add_dense_docid, add_grouped_docid
+
+    df = transcripts_df(spark, 30, seed=77, partitions=4)
+    exp = {
+        (r["conv_id"], r["turn_idx"]): r["docid"]
+        for r in add_dense_docid(df, ["conv_id", "turn_idx"]).collect()
+    }
+    for max_driver in (5_000_000, 3):  # force both paths (30 convs > 3)
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["docid"]
+            for r in add_grouped_docid(
+                df, "conv_id", "turn_idx", max_driver_groups=max_driver
+            ).collect()
+        }
+        assert got == exp, f"max_driver_groups={max_driver}"
+
+
+def test_grouped_rank_rejects_non_dense(spark):
+    from ciff_spark.plans.rank import NotDenseWithinGroups, add_grouped_docid
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 2), ("b", 0)], "conv_id string, turn_idx int"
+    )
+    for max_driver in (100, 1):
+        with pytest.raises(NotDenseWithinGroups):
+            add_grouped_docid(
+                df, "conv_id", "turn_idx", max_driver_groups=max_driver
+            ).collect()
+
+
+def test_grouped_rank_plan_has_no_wide_range_shuffle(spark):
+    """On the driver-offsets path the wide text rows must take a BROADCAST
+    join (never a range/hash exchange of the text column)."""
+    from ciff_spark.plans.rank import add_grouped_docid
+
+    df = transcripts_df(spark, 10, seed=1, partitions=2)
+    plan = _plan(add_grouped_docid(df, "conv_id", "turn_idx"))
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are broadcast ones
+    import re
+
+    wide_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange (range|hash)partitioning", ln) and "text" in ln
+    ]
+    assert not wide_exchanges, wide_exchanges
