@@ -4,22 +4,25 @@ Replaces the reference's fully memory-resident jsonl2ciff build (two process-
 wide HashMaps hold the whole index, /root/reference/src/lib.rs:996,1001 — its
 scalability wall) with a declarative Spark pipeline:
 
-  transcripts ─ add_dense_docid ─ tokenize (JVM regex / Arrow UDF)
-    ├─ docs table: doclength = Σtf per doc (token count)
-    └─ explode → groupBy(term, docid) hash-agg tf (map-side partial combine;
-         only skinny (term, docid, tf) rows ever shuffle — doclengths are
-         broadcast into the encoder, or dl-free bounds at 10^12 scale)
-         → repartition by pgroup = hash(term) % n_pgroups, sort within
-           partitions by (term, docid)
-         → ONE vectorized Arrow pass per partition (codec.encode_many)
-           block-encodes every (term, shard) group; shard = docid//shard_size
-           is the structural skew handling: a Zipf-hot term's postings land
-           in MANY (term, shard) rows, never one reducer, and the per-term
-           merge is concatenation in shard order
-         → postings table, partitionBy(pgroup) (≈1 file per pgroup)
-  docs → shard_sizes (u32 doclength arrays per shard)
+  transcripts ─ docid rank: two-level grouped (offset(conv)+turn_idx — only
+    the skinny conv-size table shuffles; the text rows take a broadcast join)
+    with add_dense_docid as the generic fallback
+    → ONE pass over text: tokenize → explode → groupBy(term, docid) hash-agg
+      tf (map-side partial combine; only combined skinny (term, docid, tf)
+      rows ever shuffle) → CACHE the skinny tf relation (never text, never
+      token arrays)
+    everything else derives from the tf cache:
+    ├─ docs table: id map (text-pruned rescan) ⟕ per-doc Σtf = doclength
+    ├─ shard_sizes: u32 doclength runs per docid shard
+    └─ postings: repartition by pgroup = hash(term) % n_pgroups, sort within
+         partitions by (term, docid) → ONE vectorized Arrow pass per
+         partition (codec.encode_arrow_batch) block-encodes every
+         (term, shard) group; shard = docid//shard_size is the structural
+         skew handling: a Zipf-hot term's postings land in MANY (term, shard)
+         rows, never one reducer, and the per-term merge is concatenation in
+         shard order → postings table, partitionBy(pgroup)
   postings(df, cf columns only — blocks pruned at scan) → term_stats
-  → meta (≙ CIFF Header)
+  → meta (≙ CIFF Header; written driver-side, like lineage/resume manifests)
 
 Checkpoint/resume: postings are written in pgroup *batches*; each completed
 batch appends a manifest row to ``_lineage``. A resumed build deletes the
@@ -98,8 +101,17 @@ def build_index(
     if not resume:
         store.drop()
 
+    done = _done_pgroups(store, spark)
+    todo = [g for g in range(cfg.n_pgroups) if g not in done]
+    if (
+        resume and not todo
+        and all(store.exists(t) for t in ("meta", "docs", "shard_sizes", "term_stats"))
+    ):
+        return store  # fully-built index: resume is a zero-job no-op
+
     # ---- docid assignment (deterministic; cheap to redo on resume) ---------
     base = df.withColumnRenamed(text_col, "text_in")
+    persisted = None
     if docid_col is not None:
         ranked = base.withColumn("docid", F.col(docid_col).cast("long"))
         chk = ranked.agg(
@@ -110,38 +122,46 @@ def build_index(
         ).first()
         if chk["n"] and not (chk["lo"] == 0 and chk["hi"] == chk["n"] - 1 and chk["nd"] == chk["n"]):
             raise ValueError(f"docid_col {docid_col!r} is not dense 0..N-1: {chk}")
-        persisted = None
+        num_docs = int(chk["n"])
     else:
         ranked = None
-        persisted = None
+        num_docs = 0
         if cfg.two_level_rank and len(id_cols) == 2 and not cfg.input_sorted:
             try:
                 # two-level rank: only the skinny (conv, size) table shuffles;
                 # the wide text rows take a broadcast join + narrow projection
-                ranked = add_grouped_docid(base, id_cols[0], id_cols[1])
+                ranked, num_docs = add_grouped_docid(
+                    base, id_cols[0], id_cols[1], with_count=True
+                )
             except NotDenseWithinGroups:
                 ranked = None  # e.g. gappy turn_idx — take the generic rank
         if ranked is None:
-            ranked = add_dense_docid(
-                base, list(id_cols), cfg.rank_partitions, assume_sorted=cfg.input_sorted
+            ranked, num_docs = add_dense_docid(
+                base, list(id_cols), cfg.rank_partitions,
+                assume_sorted=cfg.input_sorted, with_count=True,
             )
             persisted = ranked
+    id_keep = [c for c in id_cols if c in ranked.columns]
 
-    # materialize (docid, id_cols, tokens) ONCE: both the docs stage and the
-    # postings stage read it, so the regex tokenizer runs a single pass and
-    # the (larger) text column never sits in the cache
-    toks = ranked.select(
-        "docid",
-        *[c for c in id_cols if docid_col is None or c in ranked.columns],
-        _tokens_col(cfg).alias("tokens"),
+    # ---- ONE pass over the text: tokenize → explode → per-(term,docid) tf --
+    # The cached artifact is the SKINNY tf relation (term, docid, tf, pgroup —
+    # scalar columns only): the text and the token arrays never sit in the
+    # cache, and every downstream stage (doc lengths, shard sizes, stats,
+    # encode) derives from it. Hash-agg runs with map-side partial combine,
+    # so only combined (term, docid, tf) rows ever shuffle.
+    # cache AFTER the pgroup repartition + in-partition sort: the encode pass
+    # then reads its input already positioned (pure narrow mapInArrow), and
+    # the doc-length derivations reuse the same cache
+    tf = (
+        ranked.select("docid", _tokens_col(cfg).alias("tokens"))
+        .select("docid", F.explode("tokens").alias("term"))
+        .groupBy("term", "docid")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
+        .repartition(cfg.n_pgroups, "pgroup")
+        .sortWithinPartitions("pgroup", "term", "docid")
     ).persist()
 
-    # ---- doc lengths (≙ DocRecords content), straight off the token cache --
-    dlen = toks.select(
-        "docid",
-        *[c for c in id_cols if c in toks.columns],
-        F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength"),
-    )
     if store.exists("meta"):
         # resumed build past the stats point: the Header row already holds
         # them — driver-side read, no Spark job
@@ -150,32 +170,37 @@ def build_index(
         avgdl = float(m["avgdl"])
         shard_size = int(m["shard_size"])
     else:
-        stats_src = store.read(spark, "docs") if store.exists("docs") else dlen
-        stats = stats_src.agg(
-            F.count("*").alias("n"), F.sum("doclength").alias("tt")
-        ).first()
-        num_docs = int(stats["n"])
-        total_terms = int(stats["tt"] or 0)
+        # doclength ≡ Σtf per doc (token count): the collection total is one
+        # agg on the tf cache — this action also materializes it
+        total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
         avgdl = total_terms / num_docs if num_docs else 0.0
         shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
 
-    # docs + shard_sizes depend only on the token cache — write them from
-    # driver threads CONCURRENTLY with the postings job (Spark schedules
-    # jobs from multiple threads onto the same executor pool)
+    # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
+    # dlen (docid → doclength + ids) computes ONCE into a small cache;
+    # shard_sizes writes first (the encode needs it for the doclength
+    # broadcast), then the docs write runs on a driver thread so it overlaps
+    # the encode job on the shared executor pool
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=2)
-    side_futures = []
-    if not store.exists("docs"):
-        def _write_docs():
-            t0 = time.time()
-            store.write("docs", dlen)
-            return ("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done")
+    pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = None
+    dlen = None
+    need_docs = not store.exists("docs")
+    need_ss = not store.exists("shard_sizes")
+    if need_docs or need_ss:
+        # token-less docs (empty/punct-only text) still hold a docid with
+        # doclength 0 — the id map left-joins the per-doc tf sums (both
+        # sides skinny; the id rescan prunes the text column)
+        idmap = ranked.select("docid", *id_keep)
+        sums = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("_dl"))
+        dlen = idmap.join(sums, "docid", "left").select(
+            "docid", *id_keep,
+            F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
+        ).persist()
 
-        side_futures.append(pool.submit(_write_docs))
-
-    ss_future = None
-    if not store.exists("shard_sizes"):
+    if need_ss:
+        t0 = time.time()
         ssz = shard_size
 
         def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -191,38 +216,29 @@ def build_index(
                   "count": len(dids), "dl_bin": dls.tobytes()}]
             )
 
-        def _write_shard_sizes():
-            t0 = time.time()
-            packed = (
-                dlen.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
-                .select("shard", "docid", "doclength")
-                .groupBy("shard")
-                .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
-            )
-            store.write("shard_sizes", packed)
-            return ("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done")
+        packed = (
+            dlen.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+            .select("shard", "docid", "doclength")
+            .groupBy("shard")
+            .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
+        )
+        store.write("shard_sizes", packed)
+        pending_lineage.append(("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
 
-        ss_future = pool.submit(_write_shard_sizes)
-        side_futures.append(ss_future)
+    if need_docs:
+        def _write_docs():
+            t0 = time.time()
+            store.write("docs", dlen)  # reads the dlen cache
+            return ("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done")
+
+        docs_future = pool.submit(_write_docs)
 
     # ---- stage: postings (pgroup-batched, resumable) ------------------------
-    # tokenize → hash-agg tf (map-side combine) → repartition skinny
-    # (term, docid, tf) rows by pgroup + in-partition sort → one Arrow pass
-    # per partition block-encodes every (term, shard) group vectorized.
+    # repartition the skinny cached tf rows by pgroup + in-partition sort →
+    # one Arrow pass per partition block-encodes every (term, shard) group.
     try:
-        done = _done_pgroups(store, spark)
-        todo = [g for g in range(cfg.n_pgroups) if g not in done]
         if todo:
             _clean_partial_pgroups(store, todo)
-            # hash-agg first (map-side partial combine shrinks the token stream
-            # ~1.5-2× before it hits the wire), THEN repartition the skinny
-            # (term, docid, tf) rows to pgroups for encoding
-            tf = (
-                toks.select("docid", F.explode("tokens").alias("term"))
-                .groupBy("term", "docid")
-                .agg(F.count("*").alias("tf"))
-                .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
-            )
             block_size = cfg.block_size
             avgdl_c = avgdl
             n_pgroups = cfg.n_pgroups
@@ -234,8 +250,6 @@ def build_index(
             # comes from the shard_sizes table (already-packed u32 runs) via
             # a driver-side pyarrow read — no extra Spark job
             if num_docs and num_docs <= cfg.dl_broadcast_max_docs:
-                if ss_future is not None:
-                    ss_future.result()  # packed concurrently; wait for commit
                 dl_bc = spark.sparkContext.broadcast(_dl_array(store, num_docs))
             else:
                 dl_bc = None
@@ -271,14 +285,11 @@ def build_index(
                     raise RuntimeError("injected failure (BuildConfig.fail_after_batches)")
                 batch = [int(g) for g in batch]
                 t0 = time.time()
-                # partition by pgroup BEFORE encoding: each task then writes into
-                # exactly one pgroup subdir (≈1 file per pgroup, not tasks×pgroups
-                # small files); (term, shard) groups stay contiguous because
-                # pgroup is a function of term
+                # the cache is already pgroup-partitioned and sorted, so the
+                # encode is a NARROW pass; each task writes only its own
+                # pgroups (≈1 file per pgroup, not tasks×pgroups small files)
                 part = (
                     tf.where(F.col("pgroup").isin(batch))
-                    .repartition(len(batch), "pgroup")
-                    .sortWithinPartitions("pgroup", "term", "docid")
                     .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
                     .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
                 ).persist()
@@ -322,16 +333,18 @@ def build_index(
                 )
 
     finally:
-        # join the concurrent writers even on failure: a resume in the same
-        # session must never race a still-running writer, and caches must
-        # not leak across failed builds
-        for fut in side_futures:
+        # join the concurrent docs writer even on failure (a resume in the
+        # same session must never race a still-running writer), then drop
+        # the caches — the postings stage was their last consumer
+        if docs_future is not None:
             try:
-                pending_lineage.append(fut.result())
+                pending_lineage.append(docs_future.result())
             except Exception:
-                pass  # side-stage failure surfaces via missing table later
+                pass  # surfaces via the missing docs table downstream
         pool.shutdown()
-
+        if dlen is not None:
+            dlen.unpersist()
+        tf.unpersist()
 
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):
@@ -357,7 +370,6 @@ def build_index(
 
     if pending_lineage:
         _lineage_rows(store, spark, pending_lineage)
-    toks.unpersist()
     if persisted is not None:
         persisted.unpersist()
     return store

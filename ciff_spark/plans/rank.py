@@ -37,13 +37,17 @@ def add_dense_docid(
     num_partitions: int | None = None,
     docid_col: str = "docid",
     assume_sorted: bool = False,
-) -> DataFrame:
+    with_count: bool = False,
+):
     """Return ``df`` plus a dense 0..N-1 ``docid`` = rank of ``order_cols``.
 
     ``assume_sorted=True`` skips the range shuffle entirely: the caller
     asserts partitions are already key-ordered (partition i's keys all ≤
     partition i+1's, sorted within) — true for generators and for Iceberg
     tables with a matching sort order, where the shuffle would be pure waste.
+
+    ``with_count=True`` returns ``(df, total_rows)`` — the total falls out of
+    the per-partition counts job for free.
 
     The result is persisted (MEMORY_AND_DISK); callers should ``unpersist()``
     it when downstream stages have materialized.
@@ -90,7 +94,8 @@ def add_dense_docid(
             seen += len(pdf)
             yield pdf
 
-    return sdf.mapInPandas(assign, out_schema)
+    out = sdf.mapInPandas(assign, out_schema)
+    return (out, acc) if with_count else out
 
 
 class NotDenseWithinGroups(ValueError):
@@ -103,7 +108,8 @@ def add_grouped_docid(
     idx_col: str,
     docid_col: str = "docid",
     max_driver_groups: int = 5_000_000,
-) -> DataFrame:
+    with_count: bool = False,
+):
     """Two-level dense docid for GROUPED inputs: when ``idx_col`` is already
     dense 0..n-1 within each ``group_col`` (true for transcript turns), the
     global rank over (group, idx) is ``offset(group) + idx`` with offsets the
@@ -121,27 +127,37 @@ def add_grouped_docid(
     real warehouse the input would be bucketed by ``group_col`` so even that
     join is co-located.
     """
+    import pandas as pd
+
     spark = df.sparkSession
     sizes = df.groupBy(group_col).agg(
         F.count("*").alias("_n"),
         F.min(idx_col).alias("_lo"),
         F.max(idx_col).alias("_hi"),
     )
-    n_groups = sizes.count()
+    total = None
+    # ONE probing job: collect up to the driver cap + 1 — if the limit bites,
+    # take the distributed path; otherwise this IS the full sizes table
+    probe = sizes.limit(max_driver_groups + 1).toPandas()
+    n_groups = len(probe)
     if n_groups <= max_driver_groups:
-        rows = sizes.collect()
-        rows.sort(key=lambda r: r[group_col])
-        offsets, acc = [], 0
-        for r in rows:
-            if not (r["_lo"] == 0 and r["_hi"] == r["_n"] - 1):
-                raise NotDenseWithinGroups(
-                    f"group {r[group_col]!r}: idx range [{r['_lo']},{r['_hi']}] "
-                    f"with {r['_n']} rows is not dense 0..n-1"
-                )
-            offsets.append((r[group_col], acc))
-            acc += int(r["_n"])
-        gtype = df.schema[group_col].dataType.simpleString()
-        odf = spark.createDataFrame(offsets, f"{group_col} {gtype}, _goff long")
+        # vectorized pandas/numpy on the driver — a constant on a real
+        # cluster (the driver is its own node); kept minimal because the
+        # local scaling emulation pins it onto the executor cores
+        pdf = probe.sort_values(group_col).reset_index(drop=True)
+        n = pdf["_n"].to_numpy(np.int64)
+        bad = (pdf["_lo"].to_numpy() != 0) | (pdf["_hi"].to_numpy() != n - 1)
+        if bad.any():
+            g = pdf.loc[np.flatnonzero(bad)[0]]
+            raise NotDenseWithinGroups(
+                f"group {g[group_col]!r}: idx range [{g['_lo']},{g['_hi']}] "
+                f"with {g['_n']} rows is not dense 0..n-1"
+            )
+        csum = n.cumsum()
+        total = int(csum[-1]) if len(csum) else 0
+        odf = spark.createDataFrame(
+            pd.DataFrame({group_col: pdf[group_col], "_goff": csum - n})
+        )
         joined = df.join(F.broadcast(odf), group_col)
     else:
         bad = sizes.where((F.col("_lo") != 0) | (F.col("_hi") != F.col("_n") - 1))
@@ -149,6 +165,7 @@ def add_grouped_docid(
             raise NotDenseWithinGroups("some groups are not dense 0..n-1")
         # distributed exclusive prefix sum of sizes in group order: the same
         # two-phase trick as add_dense_docid, accumulating _n instead of 1
+        del probe
         n = spark.sparkContext.defaultParallelism
         ssz = sizes.repartitionByRange(n, F.col(group_col)).sortWithinPartitions(
             group_col
@@ -165,6 +182,7 @@ def add_grouped_docid(
         for pid in sorted(pmap):
             poff[pid] = acc
             acc += pmap[pid]
+        total = acc
         bc = spark.sparkContext.broadcast(poff)
 
         def local_prefix(iterator):
@@ -182,6 +200,7 @@ def add_grouped_docid(
         gtype = df.schema[group_col].dataType.simpleString()
         odf = ssz.mapInPandas(local_prefix, f"{group_col} {gtype}, _goff long")
         joined = df.join(odf, group_col)
-    return joined.withColumn(
+    out = joined.withColumn(
         docid_col, (F.col("_goff") + F.col(idx_col).cast("long")).cast("long")
     ).drop("_goff")
+    return (out, total) if with_count else out
