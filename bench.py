@@ -8,10 +8,11 @@ Default mode (the driver's per-round run): times the headline operators at
 Extra context fields (turns/sec, config) ride along in the same object.
 All progress chatter goes to stderr.
 
-``--scaling`` mode: runs the transcript index build at local[8] and local[32]
-(fresh JVM each, same deterministic input) — the sandbox stand-in for the
-north-rule's N vs 4N executor criterion — and writes BENCH/BASELINE.md with
-throughput at both sizes and the scaling efficiency.
+``--scaling`` mode: runs the transcript index build at N and 4N pinned cores
+(fresh JVM each, same deterministic staged input, interleaved repeated
+pairs) — the sandbox stand-in for the north-rule's N vs 4N executor
+criterion — and writes BENCH/BASELINE.md with throughput at both sizes and
+EVERY pair's scaling efficiency.
 """
 
 from __future__ import annotations
