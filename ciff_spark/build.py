@@ -143,38 +143,58 @@ def build_index(
             persisted = ranked
     id_keep = [c for c in id_cols if c in ranked.columns]
 
+    if store.exists("meta"):
+        # resumed build past the stats point: the Header row already holds
+        # the collection stats — driver-side read, no Spark job
+        m = store.meta_local()
+        num_docs, total_terms = int(m["num_docs"]), int(m["total_terms"])
+        avgdl = float(m["avgdl"])
+        shard_size = int(m["shard_size"])
+        have_stats = True
+    else:
+        shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
+        have_stats = False
+
     # ---- ONE pass over the text: tokenize → explode → per-(term,docid) tf --
     # The cached artifact is the SKINNY tf relation (term, docid, tf, pgroup —
     # scalar columns only): the text and the token arrays never sit in the
     # cache, and every downstream stage (doc lengths, shard sizes, stats,
     # encode) derives from it. Hash-agg runs with map-side partial combine,
     # so only combined (term, docid, tf) rows ever shuffle.
-    # cache AFTER the pgroup repartition + in-partition sort: the encode pass
-    # then reads its input already positioned (pure narrow mapInArrow), and
-    # the doc-length derivations reuse the same cache
+    # ONE exchange for the whole postings path: raw token occurrences ship
+    # straight to their pgroup (hash(term) % n_pgroups), UNSORTED. Everything
+    # a groupBy-first plan does with extra JVM passes happens vectorized
+    # inside the encode kernel instead: dictionary-encode → lex-rank the
+    # (small) per-partition vocabulary → integer lexsort of (rank, docid) →
+    # run-length tf combine. Two shuffles of the postings stream (agg
+    # exchange + pgroup repartition) plus a JVM string sort collapse into
+    # one skinny shuffle and a cache-friendly NumPy sort — on a memory-
+    # bandwidth-bound host those were exactly the worst-scaling components.
+    # The cache is this skinny relation (docid, term, pgroup): text and
+    # token arrays never sit in memory.
+    pgroup_expr = F.pmod(F.hash("term"), F.lit(cfg.n_pgroups))
+    shard_expr = F.floor(F.col("docid") / F.lit(shard_size))
+    n_encode_parts = cfg.encode_partitions or max(
+        cfg.n_pgroups, 2 * spark.sparkContext.defaultParallelism
+    )
     tf = (
         ranked.select("docid", _tokens_col(cfg).alias("tokens"))
         .select("docid", F.explode("tokens").alias("term"))
-        .groupBy("term", "docid")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(cfg.n_pgroups)))
-        .repartition(cfg.n_pgroups, "pgroup")
-        .sortWithinPartitions("pgroup", "term", "docid")
+        # partition on (pgroup, docid-shard) EXPRESSIONS: the shuffled/cached
+        # rows carry only (docid, term); every (term, shard) encode group
+        # stays whole inside one partition, but a Zipf-hot term's stream
+        # spreads over its docid shards instead of landing on ONE reducer —
+        # this is the salted-hot-term split, applied at the partition level
+        # (without it the hottest term's pgroup is the stage straggler and
+        # the N→4N scaling dies on it)
+        .repartition(n_encode_parts, pgroup_expr, shard_expr)
     ).persist()
 
-    if store.exists("meta"):
-        # resumed build past the stats point: the Header row already holds
-        # them — driver-side read, no Spark job
-        m = store.meta_local()
-        num_docs, total_terms = int(m["num_docs"]), int(m["total_terms"])
-        avgdl = float(m["avgdl"])
-        shard_size = int(m["shard_size"])
-    else:
-        # doclength ≡ Σtf per doc (token count): the collection total is one
-        # agg on the tf cache — this action also materializes it
-        total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
+    if not have_stats:
+        # doclength ≡ Σtf per doc (token count) = plain row count of the
+        # occurrence cache — this action also materializes it
+        total_terms = int(tf.count())
         avgdl = total_terms / num_docs if num_docs else 0.0
-        shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
 
     # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
     # dlen (docid → doclength + ids) computes ONCE into a small cache;
@@ -193,7 +213,7 @@ def build_index(
         # doclength 0 — the id map left-joins the per-doc tf sums (both
         # sides skinny; the id rescan prunes the text column)
         idmap = ranked.select("docid", *id_keep)
-        sums = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("_dl"))
+        sums = tf.groupBy("docid").agg(F.count("*").cast("int").alias("_dl"))
         dlen = idmap.join(sums, "docid", "left").select(
             "docid", *id_keep,
             F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
@@ -257,25 +277,56 @@ def build_index(
             def encode_partition(iterator):
                 # Arrow-native: groups never straddle partitions (hash-partitioned
                 # on pgroup, pgroup = f(term)), but they can straddle record
-                # batches — concatenate the partition, then one vectorized encode
-                # with zero per-group Python (see codec.encode_arrow_batch)
+                # batches — concatenate the partition, then run the fused
+                # sort+aggregate+encode kernel:
+                #   1. dictionary-encode the terms (one hash pass);
+                #   2. lex-rank the per-partition VOCABULARY (small) so the
+                #      integer sort still yields lexicographic term order
+                #      (row-group pruning on the written files stays sharp);
+                #   3. np.lexsort (rank, docid) — integer keys, cache-friendly,
+                #      replacing the JVM string sort;
+                #   4. run-length combine equal (term, docid) runs = the tf
+                #      aggregation, fused so the postings stream shuffled once;
+                #   5. vectorized block encode (codec.encode_arrow_batch).
                 import pyarrow as pa
+                import pyarrow.compute as pc
 
                 batches = [b for b in iterator if b.num_rows]
                 if not batches:
                     return
                 tbl = pa.Table.from_batches(batches).combine_chunks()
+                dict_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
+                if isinstance(dict_arr, pa.ChunkedArray):
+                    dict_arr = dict_arr.combine_chunks()
+                codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                vocab = dict_arr.dictionary
+                lex = pc.array_sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+                rank = np.empty(len(lex), np.int64)
+                rank[lex] = np.arange(len(lex), dtype=np.int64)
+                keys = rank[codes]
                 docids = tbl.column("docid").to_numpy()
-                tfs = tbl.column("tf").to_numpy()
-                doclens = dl_bc.value[docids] if dl_bc is not None else None
+                order = np.lexsort((docids, keys))
+                keys = keys[order]
+                docids = docids[order]
+                codes = codes[order]
+                n = len(docids)
+                new = np.empty(n, bool)
+                new[0] = True
+                new[1:] = (keys[1:] != keys[:-1]) | (docids[1:] != docids[:-1])
+                starts = np.flatnonzero(new)
+                tfs = np.diff(np.append(starts, n))
+                docids_u = docids[starts]
+                doclens = dl_bc.value[docids_u] if dl_bc is not None else None
                 yield encode_arrow_batch(
-                    tbl.column("term").combine_chunks(),
-                    docids,
+                    None,
+                    docids_u,
                     tfs,
                     doclens,
                     avgdl_c,
                     shard_size_c,
                     block_size,
+                    term_codes=codes[starts],
+                    term_dict=vocab,
                 )
 
             n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
@@ -289,7 +340,7 @@ def build_index(
                 # encode is a NARROW pass; each task writes only its own
                 # pgroups (≈1 file per pgroup, not tasks×pgroups small files)
                 part = (
-                    tf.where(F.col("pgroup").isin(batch))
+                    tf.where(pgroup_expr.isin(batch))
                     .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
                     .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
                 ).persist()

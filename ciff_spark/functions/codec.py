@@ -257,6 +257,8 @@ def encode_arrow_batch(
     avgdl: float,
     shard_size: int,
     block_size: int = BLOCK_SIZE,
+    term_codes: np.ndarray | None = None,
+    term_dict=None,
 ):
     """Arrow-native multi-group encoder: same output as ``encode_many`` but
     with ZERO per-group Python objects. Terms stay an Arrow string array
@@ -265,13 +267,21 @@ def encode_arrow_batch(
     on the shared varint buffer (the concatenation of all blocks' bytes IS
     the buffer — offsets index into it, no per-block slicing/copies).
 
+    Callers that already dictionary-encoded the terms pass ``term_codes``
+    (int64 per row) + ``term_dict`` (the pa.StringArray dictionary) instead
+    of ``term_arr`` — the per-group term strings then materialize only at
+    group granularity (dict.take), never per posting row.
+
     Returns a pyarrow.RecordBatch(term, shard, df, cf, blocks).
     """
     import pyarrow as pa
 
     n = len(docids)
     assert n > 0
-    codes = term_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    if term_codes is not None:
+        codes = np.ascontiguousarray(term_codes, np.int64)
+    else:
+        codes = term_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
     docids = np.ascontiguousarray(docids, np.int64)
     tfs = np.ascontiguousarray(tfs, np.int64)
     shards = docids // shard_size
@@ -350,7 +360,10 @@ def encode_arrow_batch(
     grp_end = np.append(grp_start[1:], n)
     df_g = (grp_end - grp_start).astype(np.int64)
     cf_g = np.add.reduceat(tfs, grp_start).astype(np.int64)
-    terms_out = term_arr.take(pa.array(grp_start, pa.int64()))
+    if term_codes is not None:
+        terms_out = term_dict.take(pa.array(codes[grp_start], pa.int64()))
+    else:
+        terms_out = term_arr.take(pa.array(grp_start, pa.int64()))
     return pa.RecordBatch.from_arrays(
         [
             terms_out,
