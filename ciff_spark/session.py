@@ -36,7 +36,9 @@ def get_spark(
     # oversubscribes and measurably regresses (local[32]: 8.2k → 14k turns/s
     # with task.cpus=2 on the bench build); below 16 threads the slack
     # covers it.
-    task_cpus = "2" if (cores or os.cpu_count() or 8) >= 16 else "1"
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or (
+        "2" if (cores or os.cpu_count() or 8) >= 16 else "1"
+    )
 
     builder = (
         SparkSession.builder.master(master)
