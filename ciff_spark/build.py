@@ -7,20 +7,22 @@ scalability wall) with a declarative Spark pipeline:
   transcripts ─ docid rank: two-level grouped (offset(conv)+turn_idx — only
     the skinny conv-size table shuffles; the text rows take a broadcast join)
     with add_dense_docid as the generic fallback
-    → ONE pass over text: tokenize → explode → groupBy(term, docid) hash-agg
-      tf (map-side partial combine; only combined skinny (term, docid, tf)
-      rows ever shuffle) → CACHE the skinny tf relation (never text, never
-      token arrays)
-    everything else derives from the tf cache:
-    ├─ docs table: id map (text-pruned rescan) ⟕ per-doc Σtf = doclength
+    → ONE pass over text and ONE shuffle: tokenize → explode → repartition
+      raw (docid, term) occurrences on (pgroup = hash(term) % n_pgroups,
+      shard = docid // shard_size) → CACHE that skinny relation (never text,
+      never token arrays). The composite partition key is the structural
+      skew handling: every (term, shard) encode group stays whole in one
+      partition, but a Zipf-hot term's stream spreads across its docid
+      shards — never one reducer — and the per-term merge stays
+      concatenation in shard order.
+    everything else derives from the occurrence cache:
+    ├─ docs table: id map (text-pruned rescan) ⟕ per-doc count = doclength
     ├─ shard_sizes: u32 doclength runs per docid shard
-    └─ postings: repartition by pgroup = hash(term) % n_pgroups, sort within
-         partitions by (term, docid) → ONE vectorized Arrow pass per
-         partition (codec.encode_arrow_batch) block-encodes every
-         (term, shard) group; shard = docid//shard_size is the structural
-         skew handling: a Zipf-hot term's postings land in MANY (term, shard)
-         rows, never one reducer, and the per-term merge is concatenation in
-         shard order → postings table, partitionBy(pgroup)
+    └─ postings: fused per-partition kernel — dictionary-encode terms,
+         lex-rank the (small) partition vocabulary, integer-lexsort
+         (rank, docid), run-length-combine equal (term, docid) runs (= the
+         tf aggregation), block-encode (codec.encode_arrow_batch) — then
+         write, partitionBy(pgroup)
   postings(df, cf columns only — blocks pruned at scan) → term_stats
   → meta (≙ CIFF Header; written driver-side, like lineage/resume manifests)
 
@@ -45,7 +47,7 @@ from pyspark.sql import functions as F
 from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_arrow_batch
 from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
 from ciff_spark.plans.rank import NotDenseWithinGroups, add_dense_docid, add_grouped_docid
-from ciff_spark.store import META_SCHEMA, IndexStore
+from ciff_spark.store import IndexStore
 
 
 @dataclass
@@ -155,13 +157,8 @@ def build_index(
         shard_size = cfg.shard_size or max(cfg.min_shard_size, -(-num_docs // cfg.n_shards), 1)
         have_stats = False
 
-    # ---- ONE pass over the text: tokenize → explode → per-(term,docid) tf --
-    # The cached artifact is the SKINNY tf relation (term, docid, tf, pgroup —
-    # scalar columns only): the text and the token arrays never sit in the
-    # cache, and every downstream stage (doc lengths, shard sizes, stats,
-    # encode) derives from it. Hash-agg runs with map-side partial combine,
-    # so only combined (term, docid, tf) rows ever shuffle.
-    # ONE exchange for the whole postings path: raw token occurrences ship
+    # ---- ONE pass over the text, ONE shuffle for the postings path ----------
+    # Raw token occurrences ship
     # straight to their pgroup (hash(term) % n_pgroups), UNSORTED. Everything
     # a groupBy-first plan does with extra JVM passes happens vectorized
     # inside the encode kernel instead: dictionary-encode → lex-rank the
