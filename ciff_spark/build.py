@@ -46,7 +46,12 @@ from pyspark.sql import functions as F
 
 from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_arrow_batch
 from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
-from ciff_spark.plans.rank import NotDenseWithinGroups, add_dense_docid, add_grouped_docid
+from ciff_spark.plans.rank import (
+    NotDenseWithinGroups,
+    add_dense_docid,
+    add_grouped_docid,
+    release_rank_cache,
+)
 from ciff_spark.store import IndexStore
 
 
@@ -113,7 +118,6 @@ def build_index(
 
     # ---- docid assignment (deterministic; cheap to redo on resume) ---------
     base = df.withColumnRenamed(text_col, "text_in")
-    persisted = None
     if docid_col is not None:
         ranked = base.withColumn("docid", F.col(docid_col).cast("long"))
         chk = ranked.agg(
@@ -142,7 +146,6 @@ def build_index(
                 base, list(id_cols), cfg.rank_partitions,
                 assume_sorted=cfg.input_sorted, with_count=True,
             )
-            persisted = ranked
     id_keep = [c for c in id_cols if c in ranked.columns]
 
     if store.exists("meta"):
@@ -333,9 +336,11 @@ def build_index(
                     raise RuntimeError("injected failure (BuildConfig.fail_after_batches)")
                 batch = [int(g) for g in batch]
                 t0 = time.time()
-                # the cache is already pgroup-partitioned and sorted, so the
-                # encode is a NARROW pass; each task writes only its own
-                # pgroups (≈1 file per pgroup, not tasks×pgroups small files)
+                # the cache is hash-partitioned on (pgroup, shard), so the
+                # encode is a NARROW pass; a pgroup's rows span up to
+                # min(n_shards, n_encode_parts) tasks, so its dir holds that
+                # many files after partitionBy — bounded by the shard count,
+                # and serving prunes to ≤|q| pgroup dirs via term_stats.pgroup
                 part = (
                     tf.where(pgroup_expr.isin(batch))
                     .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
@@ -397,10 +402,17 @@ def build_index(
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):
         t0 = time.time()
+        # pgroup rides along (functionally determined by term): serving uses it
+        # to open only the queried terms' postings/pgroup=* dirs instead of
+        # globbing every file (the r2 LocalSearcher latency regression)
         ts = (
             store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int")
             .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.min("pgroup").alias("pgroup"),
+            )
         )
         store.write("term_stats", ts)
         pending_lineage.append(("term_stats", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
@@ -418,8 +430,7 @@ def build_index(
 
     if pending_lineage:
         _lineage_rows(store, spark, pending_lineage)
-    if persisted is not None:
-        persisted.unpersist()
+    release_rank_cache(ranked)
     return store
 
 

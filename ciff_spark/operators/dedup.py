@@ -143,13 +143,16 @@ WHERE round(it * 1.0 / (s1.n + s2.n - it), 6) >= {JACCARD_THRESHOLD}
 # MinHash signatures + banded LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+def _signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(hash60_col(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
         for j in range(N_MINHASH)
     ]
     return sh.groupBy("docid").agg(*aggs)
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures_from(_shingles(spark, sf_dir))
 
 
 def _minhash_sql_cols() -> str:
@@ -170,16 +173,32 @@ DEDUP_MINHASH_SQL = (
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH: band on pairs of signature values; verify candidates with exact
     Jaccard ≥ threshold. The scale path: candidate generation is a band-value
-    equi-join (shuffle on band hash), never all-pairs."""
-    sig = dedup_minhash_signatures(spark, sf_dir).cache()
-    bands = None
-    for b in range(N_BANDS):
-        band = sig.select(
-            "docid",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias("bv"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    equi-join (shuffle on band hash), never all-pairs.
+
+    ONE tokenize+shingle+distinct pass: the shingle frame is built once and
+    cached; the signatures, the doc sizes, and the exact-verify join all read
+    that cache (round-1/2 versions scanned the corpus twice — the slowest
+    driver op paid for it)."""
+    sh = _shingles(spark, sf_dir).cache()
+    sig = _signatures_from(sh)
+    # one row per (doc, band) via a single explode — not N_BANDS unioned
+    # re-scans of the signature aggregation
+    bands = sig.select(
+        "docid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")
+                        ).alias("bv"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("docid", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")).cache()
     cand = (
         bands.alias("x")
         .join(
@@ -191,7 +210,6 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.docid").alias("d1"), F.col("y.docid").alias("d2"))
         .distinct()
     )
-    sh = _shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("docid").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -301,17 +319,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact (not approximate): the band split guarantees every qualifying pair
     shares some full band, so step 2 has perfect recall for hamming ≤ t."""
-    sh = dedup_simhash(spark, sf_dir)
-    bands = None
-    for bi, (off, width) in enumerate(SIMHASH_BANDS):
-        mask = (1 << width) - 1
-        band = sh.select(
-            "docid",
-            "simhash",
-            F.lit(bi).alias("band"),
-            F.expr(f"shiftright(simhash, {off}) & {mask}").alias("bv"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    sh = dedup_simhash(spark, sf_dir).cache()
+    # one row per (doc, band) via a single explode — the self-join's two legs
+    # then read the cached signatures instead of recomputing the simhash agg
+    # once per band per side
+    bands = sh.select(
+        "docid",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {off}) & {(1 << width) - 1}"
+                        ).alias("bv"),
+                    )
+                    for bi, (off, width) in enumerate(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("docid", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     cand = (
         bands.alias("x")
         .join(

@@ -74,7 +74,10 @@ sess AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
   FROM s
 )
-SELECT user_id, session_idx,
+-- CAST(session_idx): DuckDB types a windowed integer sum() as HUGEINT, which
+-- .df() materializes to pandas float64 (1.0 vs Spark's int64 1) — rows/schema
+-- still match but the driver's value hash flips. Red in rounds 1-2.
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,

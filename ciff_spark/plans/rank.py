@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def release_rank_cache(df: DataFrame) -> None:
+    """Unpersist the internal cache backing a rank result (no-op otherwise).
+
+    ``add_dense_docid`` / the distributed path of ``add_grouped_docid``
+    persist an intermediate frame the OUTPUT depends on; ``out.unpersist()``
+    can't reach it (the output itself is not persisted). The producer hangs
+    the handle on the result; callers release it here once downstream stages
+    have materialized — otherwise every call leaks one cached DataFrame."""
+    src = getattr(df, "_rank_persisted", None)
+    if src is not None:
+        src.unpersist()
+
+
 def add_dense_docid(
     df: DataFrame,
     order_cols: list[str],
@@ -95,6 +108,7 @@ def add_dense_docid(
             yield pdf
 
     out = sdf.mapInPandas(assign, out_schema)
+    out._rank_persisted = sdf  # released via release_rank_cache
     return (out, acc) if with_count else out
 
 
@@ -134,24 +148,38 @@ def add_grouped_docid(
         F.count("*").alias("_n"),
         F.min(idx_col).alias("_lo"),
         F.max(idx_col).alias("_hi"),
+        # count-distinct closes the duplicate-with-gap hole: idx [0,1,1,3]
+        # satisfies (lo=0, hi=n-1) but is NOT dense — without _nd it would
+        # silently assign duplicate docids and corrupt postings downstream
+        F.count_distinct(F.col(idx_col)).alias("_nd"),
     )
     total = None
     # ONE probing job: collect up to the driver cap + 1 — if the limit bites,
     # take the distributed path; otherwise this IS the full sizes table
     probe = sizes.limit(max_driver_groups + 1).toPandas()
     n_groups = len(probe)
+    ssz_persisted = None
+    if n_groups == 0:
+        # empty input: createDataFrame on an empty pandas frame can't infer a
+        # schema — short-circuit to the trivially-correct empty result
+        out = df.withColumn(docid_col, F.lit(0).cast("long"))
+        return (out, 0) if with_count else out
     if n_groups <= max_driver_groups:
         # vectorized pandas/numpy on the driver — a constant on a real
         # cluster (the driver is its own node); kept minimal because the
         # local scaling emulation pins it onto the executor cores
         pdf = probe.sort_values(group_col).reset_index(drop=True)
         n = pdf["_n"].to_numpy(np.int64)
-        bad = (pdf["_lo"].to_numpy() != 0) | (pdf["_hi"].to_numpy() != n - 1)
+        bad = (
+            (pdf["_lo"].to_numpy() != 0)
+            | (pdf["_hi"].to_numpy() != n - 1)
+            | (pdf["_nd"].to_numpy(np.int64) != n)
+        )
         if bad.any():
             g = pdf.loc[np.flatnonzero(bad)[0]]
             raise NotDenseWithinGroups(
                 f"group {g[group_col]!r}: idx range [{g['_lo']},{g['_hi']}] "
-                f"with {g['_n']} rows is not dense 0..n-1"
+                f"with {g['_n']} rows ({g['_nd']} distinct) is not dense 0..n-1"
             )
         csum = n.cumsum()
         total = int(csum[-1]) if len(csum) else 0
@@ -160,7 +188,11 @@ def add_grouped_docid(
         )
         joined = df.join(F.broadcast(odf), group_col)
     else:
-        bad = sizes.where((F.col("_lo") != 0) | (F.col("_hi") != F.col("_n") - 1))
+        bad = sizes.where(
+            (F.col("_lo") != 0)
+            | (F.col("_hi") != F.col("_n") - 1)
+            | (F.col("_nd") != F.col("_n"))
+        )
         if bad.take(1):
             raise NotDenseWithinGroups("some groups are not dense 0..n-1")
         # distributed exclusive prefix sum of sizes in group order: the same
@@ -170,7 +202,7 @@ def add_grouped_docid(
         ssz = sizes.repartitionByRange(n, F.col(group_col)).sortWithinPartitions(
             group_col
         )
-        ssz = ssz.persist()
+        ssz = ssz_persisted = ssz.persist()
         psums = (
             ssz.groupBy(F.spark_partition_id().alias("_pid"))
             .agg(F.sum("_n").alias("_s"))
@@ -203,4 +235,6 @@ def add_grouped_docid(
     out = joined.withColumn(
         docid_col, (F.col("_goff") + F.col(idx_col).cast("long")).cast("long")
     ).drop("_goff")
+    if ssz_persisted is not None:
+        out._rank_persisted = ssz_persisted  # released via release_rank_cache
     return (out, total) if with_count else out

@@ -42,26 +42,60 @@ class LocalSearcher:
         for r in sorted(ss, key=lambda r: r["shard"]):
             a = np.frombuffer(r["dl_bin"], dtype="<u4")
             self.dl[r["start_docid"] : r["start_docid"] + r["count"]] = a
-        self._postings = ds.dataset(
-            glob.glob(f"{self.root}/postings/pgroup=*/*.parquet"), format="parquet"
-        )
-        self._stats = pq.read_table(
-            f"{self.root}/term_stats", columns=["term", "df"]
+        ts = pq.read_table(f"{self.root}/term_stats")
+        cols = ts.column_names
+        self._stats = ts.select(
+            ["term", "df"] + (["pgroup"] if "pgroup" in cols else [])
         ).to_pylist()
         self._df = {r["term"]: int(r["df"]) for r in self._stats}
+        # term → pgroup lets a query open ONLY its terms' postings/pgroup=*
+        # dirs (≤|q| of them) instead of paying file-open + row-group-stat
+        # costs across every postings file — the r2 serving regression.
+        # Older indexes without the column fall back to the full glob.
+        self._pg = (
+            {r["term"]: int(r["pgroup"]) for r in self._stats}
+            if "pgroup" in cols
+            else None
+        )
+        self._pg_ds: dict[int, ds.Dataset] = {}
+        self._all_ds = None
+
+    def _dataset_for(self, pgroups: set[int] | None):
+        if pgroups is None:  # no pgroup map — whole-postings fallback
+            if self._all_ds is None:
+                self._all_ds = ds.dataset(
+                    glob.glob(f"{self.root}/postings/pgroup=*/*.parquet"),
+                    format="parquet",
+                )
+            return [self._all_ds]
+        out = []
+        for g in sorted(pgroups):
+            d = self._pg_ds.get(g)
+            if d is None:
+                d = self._pg_ds[g] = ds.dataset(
+                    glob.glob(f"{self.root}/postings/pgroup={g}/*.parquet"),
+                    format="parquet",
+                )
+            out.append(d)
+        return out
 
     def _fetch_lists(self, terms: list[str]):
         """term → (blocks ordered by shard, decode_prevs). Each shard's first
         block decodes from −1 (how it was encoded); later blocks chain on
         their predecessor's max_docid."""
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         present = [t for t in terms if t in self._df]
         if not present:
             return {}
-        tbl = self._postings.to_table(
-            columns=["term", "shard", "blocks"],
-            filter=pc.field("term").isin(present),
+        pgroups = {self._pg[t] for t in present} if self._pg is not None else None
+        tbl = pa.concat_tables(
+            d.to_table(
+                columns=["term", "shard", "blocks"],
+                filter=pc.field("term").isin(present),
+            )
+            for d in self._dataset_for(pgroups)
         )
         rows = sorted(tbl.to_pylist(), key=lambda r: (r["term"], r["shard"]))
         out: dict[str, tuple[list, list]] = {}
@@ -110,16 +144,34 @@ class FreshSearcher(LocalSearcher):
         from ciff_spark.functions.codec import decode_postings
 
         self._decode = decode_postings
-        # one subdir per committed segment batch (streaming.incremental's
-        # idempotent layout); the segment id is a data column
-        seg_doc_files = _glob.glob(f"{self.root}/seg_docs/seg_*/*.parquet")
+        # COMMITTED segments only: append_batch writes seg_postings first and
+        # seg_docs LAST, with the docs dir's _SUCCESS as the commit marker. A
+        # crash between the two leaves a torn segment — postings rows whose
+        # docids have no doclength; a blind glob would KeyError the scorer
+        # and skew fresh collection stats until the batch retries.
+        import os as _os
+
+        committed = sorted(
+            _os.path.basename(d).removeprefix("seg_")
+            for d in _glob.glob(f"{self.root}/seg_docs/seg_*")
+            if _os.path.exists(f"{d}/_SUCCESS")
+        )
+        seg_doc_files = [
+            f
+            for s in committed
+            for f in _glob.glob(f"{self.root}/seg_docs/seg_{s}/*.parquet")
+        ]
         if seg_doc_files:
             segd = pq.read_table(seg_doc_files).to_pylist()
             segd.sort(key=lambda r: r["docid"])
             self.seg_dl = {int(r["docid"]): int(r["doclength"]) for r in segd}
         else:
             self.seg_dl = {}
-        seg_post_files = _glob.glob(f"{self.root}/seg_postings/seg_*/*.parquet")
+        seg_post_files = [
+            f
+            for s in committed
+            for f in _glob.glob(f"{self.root}/seg_postings/seg_{s}/*.parquet")
+        ]
         self._seg_rows = (
             pq.read_table(seg_post_files, columns=["term", "segment", "blocks"]).to_pylist()
             if seg_post_files

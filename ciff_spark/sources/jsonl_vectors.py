@@ -116,10 +116,11 @@ def build_index_from_doc_vectors(
     # two-phase dense rank as the transcript build (plans/rank.py): range-
     # partitioned sort of the (small) distinct-id set + per-partition offsets
     # — never a single-partition row_number window.
-    from ciff_spark.plans.rank import add_dense_docid
+    from ciff_spark.plans.rank import add_dense_docid, release_rank_cache
 
     ids = raw.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
-    idmap = add_dense_docid(ids, ["first_pos", "ext_id"]).drop("first_pos")
+    ranked_ids = add_dense_docid(ids, ["first_pos", "ext_id"])
+    idmap = ranked_ids.drop("first_pos")
 
     rows = quantize_scores(raw, quantize)
 
@@ -189,8 +190,9 @@ def build_index_from_doc_vectors(
         .groupBy("shard")
         .applyInPandas(pack_shard, schema="shard int, start_docid bigint, count int, dl_bin binary"),
     )
-    ts = store.read_or_empty(spark, "postings", POSTINGS_SCHEMA).groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ts = store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int").groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+        F.min("pgroup").alias("pgroup"),
     )
     store.write("term_stats", ts)
     num_terms = store.read(spark, "term_stats").count()
@@ -202,4 +204,5 @@ def build_index_from_doc_vectors(
             META_SCHEMA,
         ),
     )
+    release_rank_cache(ranked_ids)
     return store

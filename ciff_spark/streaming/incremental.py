@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ciff_spark.build import POSTINGS_SCHEMA, BuildConfig, build_index
 from ciff_spark.functions.codec import encode_many
 from ciff_spark.functions.tokenizer import tokenize_expr
-from ciff_spark.plans.rank import add_dense_docid
+from ciff_spark.plans.rank import add_dense_docid, release_rank_cache
 from ciff_spark.store import IndexStore
 
 SEG_POSTINGS = "seg_postings"
@@ -59,11 +59,24 @@ TRANSCRIPT_DDL = (
 
 
 def read_segments(spark: SparkSession, store: IndexStore, table: str) -> DataFrame:
-    """Read all segment subdirs of ``seg_postings``/``seg_docs`` (plain
-    nested dirs, one per committed batch; ``segment`` is a data column)."""
-    return (
-        spark.read.option("recursiveFileLookup", "true").parquet(store.path(table))
-    )
+    """Read COMMITTED segment subdirs of ``seg_postings``/``seg_docs`` only.
+
+    The commit point is the ``_SUCCESS`` marker of the batch's seg_docs dir
+    (written LAST — see module docstring). A blind recursive glob would also
+    read a torn segment left by a crash between the postings and docs writes:
+    postings rows whose docids are absent from the doc lengths, which skews
+    collection stats and KeyErrors the scorer until the retry lands."""
+    ids = _committed_segment_ids(store)
+    dirs = [f"{store.path(table)}/seg_{i}" for i in ids]
+    dirs = [d for d in dirs if _glob.glob(f"{d}/*.parquet")]
+    if not dirs:
+        schema = (
+            POSTINGS_SCHEMA + ", segment bigint"
+            if table == SEG_POSTINGS
+            else "docid bigint, doclength int, segment bigint"
+        )
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*dirs)
 
 
 def _committed_segment_dirs(store: IndexStore) -> list[str]:
@@ -71,6 +84,13 @@ def _committed_segment_dirs(store: IndexStore) -> list[str]:
         d
         for d in _glob.glob(f"{store.path(SEG_DOCS)}/seg_*")
         if os.path.exists(f"{d}/_SUCCESS")
+    )
+
+
+def _committed_segment_ids(store: IndexStore) -> list[int]:
+    return sorted(
+        int(os.path.basename(d).removeprefix("seg_"))
+        for d in _committed_segment_dirs(store)
     )
 
 
@@ -129,7 +149,25 @@ def append_batch(
         (F.col("docid") + F.lit(base)).alias("docid"),
         tokenize_expr(text_col).alias("tokens"),
     ).persist()
+    try:
+        _encode_and_commit_segment(
+            toks, docs_dir, post_dir, batch_id, block_size, n_encode_partitions
+        )
+    finally:
+        # a long-lived streaming query calls this once per micro-batch: the
+        # rank's internal cache and toks must release even when a write throws
+        toks.unpersist()
+        release_rank_cache(ranked)
 
+
+def _encode_and_commit_segment(
+    toks: DataFrame,
+    docs_dir: str,
+    post_dir: str,
+    batch_id: int,
+    block_size: int,
+    n_encode_partitions: int,
+) -> None:
     tf = (
         toks.select("docid", F.explode("tokens").alias("term"))
         .groupBy("term", "docid")
@@ -170,7 +208,6 @@ def append_batch(
         "docid", F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
     ).withColumn("segment", F.lit(int(batch_id)))
     docs.write.mode("overwrite").parquet(docs_dir)  # commit marker — LAST
-    toks.unpersist()
 
 
 def start_incremental_index(

@@ -24,12 +24,19 @@ def duck():
 
 
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately dtype-preserving across int/float: the driver's value hash
+    # distinguishes int64 1 from float64 1.0 (DuckDB HUGEINT window sums reach
+    # pandas as float64 — the ev_sessionize red rows of rounds 1-2). Coercing
+    # everything to float64 here masked exactly that class of drift. Integer
+    # widths are normalized (int32 → int64); kinds are not.
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
-        elif pdf[c].dtype.kind in "fiu":
-            pdf[c] = pd.to_numeric(pdf[c]).astype("float64")
+        elif pdf[c].dtype.kind in "iu":
+            pdf[c] = pdf[c].astype("int64")
+        elif pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].astype("float64")
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -54,6 +61,10 @@ def test_query_matches_oracle(spark, duck, name):
     g, e = _normalize(got), _normalize(exp)
     assert list(g.columns) == list(e.columns), f"{name}: cols {list(g.columns)} vs {list(e.columns)}"
     for c in g.columns:
+        assert g[c].dtype.kind == e[c].dtype.kind, (
+            f"{name}: col {c} dtype-kind drift — spark {g[c].dtype} vs oracle "
+            f"{e[c].dtype} (the driver hash distinguishes int from float)"
+        )
         if g[c].dtype.kind == "f":
             assert ((g[c] - e[c]).abs().fillna(0) < 1e-9).all() and (
                 g[c].isna() == e[c].isna()

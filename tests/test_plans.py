@@ -114,6 +114,32 @@ def test_grouped_rank_rejects_non_dense(spark):
             ).collect()
 
 
+def test_grouped_rank_rejects_duplicate_with_gap(spark):
+    """idx [0,1,1,3] passes the (lo=0, hi=n-1) check but is NOT dense —
+    count-distinct must catch it (it used to assign duplicate docids)."""
+    from ciff_spark.plans.rank import NotDenseWithinGroups, add_grouped_docid
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 1), ("a", 3), ("b", 0)],
+        "conv_id string, turn_idx int",
+    )
+    for max_driver in (100, 1):
+        with pytest.raises(NotDenseWithinGroups):
+            add_grouped_docid(
+                df, "conv_id", "turn_idx", max_driver_groups=max_driver
+            ).collect()
+
+
+def test_grouped_rank_empty_input(spark):
+    from ciff_spark.plans.rank import add_grouped_docid
+
+    df = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    out, total = add_grouped_docid(df, "conv_id", "turn_idx", with_count=True)
+    assert total == 0
+    assert out.count() == 0
+    assert "docid" in out.columns
+
+
 def test_grouped_rank_plan_has_no_wide_range_shuffle(spark):
     """On the driver-offsets path the wide text rows must take a BROADCAST
     join (never a range/hash exchange of the text column)."""

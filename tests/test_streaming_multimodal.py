@@ -113,6 +113,43 @@ def test_append_batch_idempotent_under_retries(spark, tmp_path):
     assert (dup == 1).all()
 
 
+def test_torn_segment_invisible_to_readers(spark, tmp_path):
+    """A crash between the postings write and the docs write (the commit
+    point) leaves a torn segment: readers — FreshSearcher and read_segments —
+    must see only COMMITTED segments, not the orphan postings."""
+    import shutil as sh
+
+    from ciff_spark.serve import FreshSearcher
+
+    pdf = transcripts_pdf(6, seed=5).sort_values(["conv_id", "turn_idx"])
+    cut = len(pdf) // 2
+    from ciff_spark.build import BuildConfig, build_index
+
+    root = str(tmp_path / "torn_idx")
+    build_index(
+        spark.createDataFrame(pdf.iloc[:cut]), root,
+        config=BuildConfig(n_shards=1, n_pgroups=2), resume=False,
+    )
+    store = IndexStore(root)
+    append_batch(spark, store, spark.createDataFrame(pdf.iloc[cut:]), 0)
+    # simulate the crash: docs dir (and its _SUCCESS commit marker) gone,
+    # postings of segment 0 left behind
+    sh.rmtree(f"{store.path(SEG_DOCS)}/seg_0")
+    assert read_segments(spark, store, SEG_POSTINGS).count() == 0
+    assert read_segments(spark, store, SEG_DOCS).count() == 0
+    searcher = FreshSearcher(root)
+    assert searcher.fresh_num_docs == cut  # base only — no skewed stats
+    assert searcher._seg_rows == []
+    # scoring sees base docs only and never KeyErrors on orphan docids
+    q = " ".join(pdf.iloc[0]["text"].split()[:2])
+    for docid, _ in searcher.search(q, k=5):
+        assert docid < cut
+    # the retry heals: recommit, readers see the segment again
+    append_batch(spark, store, spark.createDataFrame(pdf.iloc[cut:]), 0)
+    assert read_segments(spark, store, SEG_DOCS).count() == len(pdf) - cut
+    assert FreshSearcher(root).fresh_num_docs == len(pdf)
+
+
 def test_streaming_windowed_events(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     indir = str(tmp_path / "ev")
