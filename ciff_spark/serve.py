@@ -30,6 +30,12 @@ from ciff_spark.wand import wand_topk
 
 
 class LocalSearcher:
+    # hot posting lists stay resident across queries (query logs are Zipf):
+    # raw blocks AND their decoded arrays cache per term, LRU-bounded. The
+    # analog of PISA serving from an mmap'd index with the page cache warm —
+    # here the decode work is cached too, which mmap alone doesn't give.
+    CACHE_TERMS = 65536
+
     def __init__(self, index_root: str) -> None:
         self.root = index_root.rstrip("/")
         meta = pq.read_table(f"{self.root}/meta").to_pylist()[0]
@@ -59,6 +65,10 @@ class LocalSearcher:
         )
         self._pg_ds: dict[int, ds.Dataset] = {}
         self._all_ds = None
+        from collections import OrderedDict
+
+        # term → ((blocks, prevs), decode_cache) — LRU over CACHE_TERMS
+        self._hot: OrderedDict[str, tuple] = OrderedDict()
 
     def _dataset_for(self, pgroups: set[int] | None):
         if pgroups is None:  # no pgroup map — whole-postings fallback
@@ -80,32 +90,52 @@ class LocalSearcher:
         return out
 
     def _fetch_lists(self, terms: list[str]):
-        """term → (blocks ordered by shard, decode_prevs). Each shard's first
-        block decodes from −1 (how it was encoded); later blocks chain on
-        their predecessor's max_docid."""
+        """term → (blocks ordered by shard, decode_prevs, decode_cache).
+        Each shard's first block decodes from −1 (how it was encoded); later
+        blocks chain on their predecessor's max_docid. Served from the hot
+        LRU when possible; only missing terms touch the parquet files."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
         present = [t for t in terms if t in self._df]
         if not present:
             return {}
-        pgroups = {self._pg[t] for t in present} if self._pg is not None else None
-        tbl = pa.concat_tables(
-            d.to_table(
-                columns=["term", "shard", "blocks"],
-                filter=pc.field("term").isin(present),
+        out: dict[str, tuple[list, list, dict]] = {}
+        missing = []
+        for t in present:
+            hit = self._hot.get(t)
+            if hit is not None:
+                self._hot.move_to_end(t)
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            pgroups = (
+                {self._pg[t] for t in missing} if self._pg is not None else None
             )
-            for d in self._dataset_for(pgroups)
-        )
-        rows = sorted(tbl.to_pylist(), key=lambda r: (r["term"], r["shard"]))
-        out: dict[str, tuple[list, list]] = {}
-        for r in rows:
-            blocks, prevs = out.setdefault(r["term"], ([], []))
-            prev = -1  # shard-local chain starts at -1
-            for b in r["blocks"]:
-                blocks.append(b)
-                prevs.append(prev)
-                prev = int(b["max_docid"])
+            tbl = pa.concat_tables(
+                d.to_table(
+                    columns=["term", "shard", "blocks"],
+                    filter=pc.field("term").isin(missing),
+                )
+                for d in self._dataset_for(pgroups)
+            )
+            rows = sorted(tbl.to_pylist(), key=lambda r: (r["term"], r["shard"]))
+            for r in rows:
+                entry = out.get(r["term"])
+                if entry is None:
+                    entry = out[r["term"]] = ([], [], {})
+                blocks, prevs, _cache = entry
+                prev = -1  # shard-local chain starts at -1
+                for b in r["blocks"]:
+                    blocks.append(b)
+                    prevs.append(prev)
+                    prev = int(b["max_docid"])
+            for t in missing:
+                if t in out:
+                    self._hot[t] = out[t]
+            while len(self._hot) > self.CACHE_TERMS:
+                self._hot.popitem(last=False)
         return out
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -116,11 +146,13 @@ class LocalSearcher:
         lists_by_term = self._fetch_lists(terms)
         if not lists_by_term:
             return []
-        lists = [
-            (float(idf_np(self._df[t], self.num_docs)), blocks, np.asarray(prevs, np.int64))
-            for t, (blocks, prevs) in lists_by_term.items()
-        ]
-        d, s = wand_topk(lists, self.dl, 0, self.avgdl, k)
+        lists, caches = [], []
+        for t, (blocks, prevs, cache) in lists_by_term.items():
+            lists.append(
+                (float(idf_np(self._df[t], self.num_docs)), blocks, np.asarray(prevs, np.int64))
+            )
+            caches.append(cache)
+        d, s = wand_topk(lists, self.dl, 0, self.avgdl, k, decode_caches=caches)
         return list(zip(d.tolist(), s.tolist()))
 
 
@@ -207,12 +239,17 @@ class FreshSearcher(LocalSearcher):
                 continue
             idf = float(idf_np(df, self.fresh_num_docs))
             if t in base_lists:
-                blocks, prevs = base_lists[t]
+                blocks, prevs, bcache = base_lists[t]
                 parts_d, parts_tf = [], []
-                for blk, prev in zip(blocks, prevs):
+                for j, (blk, prev) in enumerate(zip(blocks, prevs)):
                     from ciff_spark.functions.codec import decode_block
 
-                    d, tf = decode_block(blk["docs_bin"], blk["tfs_bin"], blk["count"], prev)
+                    got = bcache.get(j)
+                    if got is None:
+                        got = bcache[j] = decode_block(
+                            blk["docs_bin"], blk["tfs_bin"], blk["count"], prev
+                        )
+                    d, tf = got
                     parts_d.append(d)
                     parts_tf.append(tf)
                 d = np.concatenate(parts_d)

@@ -45,6 +45,7 @@ def wand_topk(
     k: int,
     round_decimals: int | None = None,
     initial_theta: float | None = None,
+    decode_caches: list[dict] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -69,6 +70,12 @@ def wand_topk(
     own heap fills. Exactness is preserved: callers only pass attained
     scores, so ≥ k docs globally score ≥ θ₀, and ties at θ₀ survive the ε
     guard.
+
+    ``decode_caches``: optional per-list dicts (aligned with ``lists``) that
+    persist decoded block arrays ACROSS calls, keyed by block index — the
+    serving path's posting-list cache (query logs are Zipf; a hot term's
+    blocks decode once, not once per query). Callers own eviction. Without
+    it, a per-call cache deduplicates decodes within one invocation.
     """
     if not lists or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -106,7 +113,9 @@ def wand_topk(
 
     order = np.argsort(-U, kind="stable")
     heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of the best k
-    cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    caches: list[dict] = (
+        decode_caches if decode_caches is not None else [{} for _ in lists]
+    )
 
     for t in order:
         theta = heap[0][0] if len(heap) >= k else theta_floor
@@ -120,10 +129,10 @@ def wand_topk(
             j = int(np.searchsorted(his[i], s))
             if j >= len(his[i]) or los[i][j] > s:
                 continue  # no block of list i covers this interval
-            key = (i, j)
-            if key not in cache:
-                cache[key] = _decode_block_arrays(blocks[j], int(prevs[i][j]))
-            d, tf = cache[key]
+            got = caches[i].get(j)
+            if got is None:
+                got = caches[i][j] = _decode_block_arrays(blocks[j], int(prevs[i][j]))
+            d, tf = got
             a, b = np.searchsorted(d, s), np.searchsorted(d, e + 1)
             if a == b:
                 continue
