@@ -425,7 +425,7 @@ def build_index(
         num_terms = _table_num_rows(store, "term_stats")
         store.write_meta_local(
             num_docs, num_terms, total_terms, avgdl, shard_size, cfg.block_size,
-            description,
+            description, n_pgroups=cfg.n_pgroups,
         )
 
     if pending_lineage:

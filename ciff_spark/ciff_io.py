@@ -371,7 +371,9 @@ def export_index_to_ciff(
     if terms is not None:
         # term-pruned scan: the partial export never decodes unrequested lists
         post = post.where(F.col("term").isin(sorted(set(terms))))
-    post_rows = post.orderBy("term", "shard").collect()
+    # third key: compaction appends extra rows per (term, shard); rows of a
+    # term must concatenate in ascending docid order
+    post_rows = post.orderBy("term", "shard", F.expr("blocks[0].max_docid")).collect()
     pls: list[CiffPostingsList] = []
     cur: CiffPostingsList | None = None
     last_doc = 0

@@ -84,10 +84,13 @@ def write_pisa(
     titles: list[str],
     lexicons: bool = True,
 ) -> None:
-    """terms must be lexicographically sorted (the reference re-sorts
-    otherwise, src/lib.rs:556-558 — we enforce instead of silently fixing)."""
+    """Unsorted ``terms`` are permuted into lexicographic order before the
+    write — matching the reference, which silently re-sorts via
+    check_lines_sorted + reorder_pisa_index (src/lib.rs:556-558,340-372;
+    golden-tested in tests/toy.rs:146-226). ``postings`` is keyed by term,
+    so the permutation is just the write order."""
     if terms != sorted(terms):
-        raise ValueError("terms must be lexicographically sorted")
+        terms = sorted(terms)
     with open(f"{base}.docs", "wb") as fd, open(f"{base}.freqs", "wb") as ff:
         fd.write(encode_u32_sequence([len(sizes)]))  # singleton header seq
         for t in terms:
@@ -202,8 +205,16 @@ def export_index_to_pisa(spark, index_root: str, base: str, id_sep: str = "/") -
     sizes = np.array([r["doclength"] for r in docs], np.int64)
     titles = [id_sep.join(str(r[c]) for c in id_cols) for r in docs]
 
+    from pyspark.sql import functions as F
+
     acc: dict[str, list] = defaultdict(list)
-    for r in store.read(spark, "postings").orderBy("term", "shard").collect():
+    # third key: compaction appends extra rows per (term, shard); rows of a
+    # term must concatenate in ascending docid order
+    for r in (
+        store.read(spark, "postings")
+        .orderBy("term", "shard", F.expr("blocks[0].max_docid"))
+        .collect()
+    ):
         acc[r["term"]].append(decode_postings([b.asDict() for b in r["blocks"]]))
     postings = {
         t: (

@@ -227,6 +227,9 @@ class IndexReader:
         pq = post.join(F.broadcast(qdf), "term")
         sizes = self.store.read(self.spark, "shard_sizes")
         avgdl = float(self.meta["avgdl"])
+        # sound WAND pruning under avgdl drift (post-compaction) — see wand.py
+        _ba = float(self.meta.get("bounds_avgdl") or avgdl) or 1.0
+        self._bound_scale = max(1.0, avgdl / _ba)
 
         if mode == "exact":
             out = self._exact(pq, sizes, avgdl, k, rd)
@@ -330,6 +333,7 @@ class IndexReader:
         kk = int(k)
         avg = float(avgdl)
         rd = round_decimals
+        bscale = float(getattr(self, "_bound_scale", 1.0))
 
         def wand_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
             if postings_pdf.empty:
@@ -346,7 +350,7 @@ class IndexReader:
                     (float(r.idf), list(r.blocks)) for r in qg.itertuples(index=False)
                 ]
                 seed = theta0.get(int(qid)) if theta0 else None
-                d, s = wand_topk(lists, dl, start, avg, kk, rd, seed)
+                d, s = wand_topk(lists, dl, start, avg, kk, rd, seed, bound_scale=bscale)
                 frames.append(pd.DataFrame({"qid": int(qid), "docid": d, "score": s}))
             return pd.concat(frames, ignore_index=True)
 

@@ -42,6 +42,11 @@ class LocalSearcher:
         self.num_docs = int(meta["num_docs"])
         self.avgdl = float(meta["avgdl"])
         self.shard_size = int(meta["shard_size"])
+        # block bounds are exact under the avgdl they were encoded with;
+        # compaction can move the collection avgdl above it — inflate bounds
+        # by the sup drift ratio so WAND pruning stays sound (see wand.py)
+        _ba = float(meta.get("bounds_avgdl") or self.avgdl) or 1.0
+        self.bound_scale = max(1.0, self.avgdl / _ba)
         # doclengths: one dense u32 array assembled from shard_sizes
         ss = pq.read_table(f"{self.root}/shard_sizes").to_pylist()
         self.dl = np.zeros(self.num_docs, np.uint32)
@@ -120,7 +125,18 @@ class LocalSearcher:
                 )
                 for d in self._dataset_for(pgroups)
             )
-            rows = sorted(tbl.to_pylist(), key=lambda r: (r["term"], r["shard"]))
+            # (term, shard, first-block max_docid): compaction can append a
+            # second row for an existing (term, shard) — rows of one term
+            # must concatenate in ascending docid order for the block
+            # geometry (lo/hi chain) to stay valid
+            rows = sorted(
+                tbl.to_pylist(),
+                key=lambda r: (
+                    r["term"],
+                    r["shard"],
+                    int(r["blocks"][0]["max_docid"]) if r["blocks"] else -1,
+                ),
+            )
             for r in rows:
                 entry = out.get(r["term"])
                 if entry is None:
@@ -152,7 +168,10 @@ class LocalSearcher:
                 (float(idf_np(self._df[t], self.num_docs)), blocks, np.asarray(prevs, np.int64))
             )
             caches.append(cache)
-        d, s = wand_topk(lists, self.dl, 0, self.avgdl, k, decode_caches=caches)
+        d, s = wand_topk(
+            lists, self.dl, 0, self.avgdl, k,
+            decode_caches=caches, bound_scale=self.bound_scale,
+        )
         return list(zip(d.tolist(), s.tolist()))
 
 

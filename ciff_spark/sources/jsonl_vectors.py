@@ -200,7 +200,8 @@ def build_index_from_doc_vectors(
         "meta",
         spark.createDataFrame(
             [(num_docs, num_terms, total_terms, avgdl, shard_size, block_size,
-              f"jsonl doc-vector ingest of {jsonl_path} (quantize={quantize}, doclength={doclength_mode})")],
+              f"jsonl doc-vector ingest of {jsonl_path} (quantize={quantize}, doclength={doclength_mode})",
+              avgdl, n_pgroups)],
             META_SCHEMA,
         ),
     )

@@ -40,7 +40,15 @@ TABLES = ("docs", "postings", "term_stats", "shard_sizes", "meta", "_lineage")
 
 META_SCHEMA = (
     "num_docs bigint, num_terms bigint, total_terms bigint, avgdl double, "
-    "shard_size bigint, block_size int, description string"
+    "shard_size bigint, block_size int, description string, "
+    # bounds_avgdl: the MINIMUM avgdl any live block's max_tfnorm bound was
+    # computed under. Segment compaction appends rows encoded under the NEW
+    # avgdl while base blocks keep bounds from the OLD one; tfnorm grows with
+    # avgdl, so WAND stays exact by inflating every bound by
+    # max(1, avgdl / bounds_avgdl) at query time (sup of the per-doc ratio).
+    # n_pgroups: the term-hash modulus of the postings layout — compaction
+    # must route appended rows to the same pgroup dirs serving prunes on.
+    "bounds_avgdl double, n_pgroups int"
 )
 
 
@@ -106,6 +114,7 @@ class IndexStore:
     def write_meta_local(
         self, num_docs: int, num_terms: int, total_terms: int, avgdl: float,
         shard_size: int, block_size: int, description: str,
+        bounds_avgdl: float | None = None, n_pgroups: int | None = None,
     ) -> None:
         """Write the single Header row driver-side (pyarrow, atomic rename,
         Spark-readable types per META_SCHEMA) — one row must not cost a job."""
@@ -121,6 +130,13 @@ class IndexStore:
                 "shard_size": pa.array([int(shard_size)], pa.int64()),
                 "block_size": pa.array([int(block_size)], pa.int32()),
                 "description": pa.array([str(description)], pa.string()),
+                "bounds_avgdl": pa.array(
+                    [float(avgdl if bounds_avgdl is None else bounds_avgdl)],
+                    pa.float64(),
+                ),
+                "n_pgroups": pa.array(
+                    [None if n_pgroups is None else int(n_pgroups)], pa.int32()
+                ),
             }
         )
         final = self.path("meta")

@@ -147,11 +147,13 @@ def append_batch(
     ranked = add_dense_docid(batch_df.select(*id_cols, text_col), list(id_cols))
     toks = ranked.select(
         (F.col("docid") + F.lit(base)).alias("docid"),
+        *id_cols,  # ride along so compaction can fold segments into docs
         tokenize_expr(text_col).alias("tokens"),
     ).persist()
     try:
         _encode_and_commit_segment(
-            toks, docs_dir, post_dir, batch_id, block_size, n_encode_partitions
+            toks, docs_dir, post_dir, batch_id, block_size, n_encode_partitions,
+            id_cols,
         )
     finally:
         # a long-lived streaming query calls this once per micro-batch: the
@@ -167,6 +169,7 @@ def _encode_and_commit_segment(
     batch_id: int,
     block_size: int,
     n_encode_partitions: int,
+    id_cols: tuple[str, ...] = (),
 ) -> None:
     tf = (
         toks.select("docid", F.explode("tokens").alias("term"))
@@ -205,7 +208,7 @@ def _encode_and_commit_segment(
     )
     seg.write.mode("overwrite").parquet(post_dir)
     docs = toks.select(
-        "docid", F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
+        "docid", *id_cols, F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
     ).withColumn("segment", F.lit(int(batch_id)))
     docs.write.mode("overwrite").parquet(docs_dir)  # commit marker — LAST
 
@@ -239,20 +242,253 @@ def start_incremental_index(
 def compact_segments(
     spark: SparkSession, index_root: str, rebuild_from: DataFrame | None = None,
     config: BuildConfig | None = None,
+    dl_broadcast_max_docs: int = 5_000_000,
 ) -> IndexStore:
-    """Fold segments into the base index. The streaming path accumulates
-    per-segment posting runs with (by construction) disjoint increasing docid
-    ranges; compaction here rebuilds base tables from the full corpus —
-    equivalently, a pure concat merge — and drops the segments."""
+    """Fold segments into the base index, then drop them.
+
+    Default (``rebuild_from=None``): CONCAT compaction — cost ∝ segment size,
+    never corpus size. Segment docid ranges are disjoint and increasing by
+    construction, so the merge is: decode+re-shard+re-encode only the SEGMENT
+    postings (exact block bounds under the new avgdl when the segment
+    doclengths fit the broadcast cap, dl-free true bounds beyond), append
+    them as additional (term, shard) rows — readers concatenate same-shard
+    rows in ascending first-docid order — extend ``shard_sizes`` with the new
+    doclength runs, merge ``term_stats``, and rewrite ``meta`` with
+    ``bounds_avgdl = min(old, new)`` so WAND pruning stays sound under the
+    avgdl drift (see wand.py ``bound_scale``). Base postings files are never
+    read or rewritten.
+
+    ``rebuild_from=df``: full rebuild from the given corpus (the heavyweight
+    path; also re-tightens block bounds and re-balances block sizes).
+
+    Requires a quiesced stream. On plain Parquet the multi-table commit is
+    NOT crash-atomic (production target is one Iceberg snapshot commit); a
+    crash mid-compaction requires a rebuild."""
     import shutil
 
     store = IndexStore(index_root)
     if rebuild_from is not None:
         store.drop()
         build_index(rebuild_from, index_root, config=config, resume=False)
+    else:
+        _fold_segments(spark, store, dl_broadcast_max_docs)
     for t in (SEG_POSTINGS, SEG_DOCS):
         shutil.rmtree(store.path(t), ignore_errors=True)
     return store
+
+
+def _fold_segments(
+    spark: SparkSession, store: IndexStore, dl_broadcast_max_docs: int
+) -> None:
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    if not _committed_segment_ids(store):
+        return
+    meta = store.meta_local()
+    old_num = int(meta["num_docs"])
+    old_total = int(meta["total_terms"])
+    old_avgdl = float(meta["avgdl"])
+    shard_size = int(meta["shard_size"])
+    block_size = int(meta["block_size"])
+    bounds_avgdl = float(meta.get("bounds_avgdl") or old_avgdl)
+    n_pgroups = meta.get("n_pgroups")
+    if n_pgroups is None:  # legacy index: recover the modulus from the layout
+        gs = [
+            int(p.rsplit("pgroup=", 1)[1])
+            for p in glob.glob(store.path("postings") + "/pgroup=*")
+        ]
+        n_pgroups = (max(gs) + 1) if gs else 1
+    n_pgroups = int(n_pgroups)
+
+    seg_docs = read_segments(spark, store, SEG_DOCS).persist()
+    try:
+        agg = seg_docs.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("docid").alias("nd"),
+            F.min("docid").alias("lo"),
+            F.max("docid").alias("hi"),
+            F.sum("doclength").alias("t"),
+        ).first()
+        n_seg = int(agg["n"])
+        if n_seg == 0:
+            return
+        if not (
+            int(agg["lo"]) == old_num
+            and int(agg["hi"]) == old_num + n_seg - 1
+            and int(agg["nd"]) == n_seg
+        ):
+            raise ValueError(
+                f"segment docids are not the dense continuation of the base: "
+                f"base num_docs={old_num}, segments [{agg['lo']},{agg['hi']}] "
+                f"({agg['nd']} distinct of {n_seg})"
+            )
+        seg_total = int(agg["t"] or 0)
+        num2 = old_num + n_seg
+        total2 = old_total + seg_total
+        avgdl2 = total2 / num2 if num2 else 0.0
+
+        # exact new-row bounds need the segment doclengths; beyond the
+        # broadcast cap fall back to dl-free TRUE bounds (looser pruning,
+        # same exactness) — mirroring the batch build's policy
+        if n_seg <= dl_broadcast_max_docs:
+            pdf = seg_docs.select("docid", "doclength").toPandas()
+            dlarr = np.zeros(n_seg, np.uint32)
+            dlarr[pdf["docid"].to_numpy(np.int64) - old_num] = pdf[
+                "doclength"
+            ].to_numpy(np.int64)
+            dl_bc = spark.sparkContext.broadcast(dlarr)
+        else:
+            dl_bc = None
+
+        # ---- postings: decode + re-shard + re-encode SEGMENT rows only ------
+        from ciff_spark.functions.codec import decode_postings, encode_many
+
+        ssz, bsz, base0, avg2 = shard_size, block_size, old_num, avgdl2
+
+        def reencode(iterator):
+            codes_parts, d_parts, t_parts, vocab, seen = [], [], [], [], {}
+            for pdf_in in iterator:
+                for term, blocks in zip(pdf_in["term"], pdf_in["blocks"]):
+                    d, tf = decode_postings(list(blocks))
+                    code = seen.get(term)
+                    if code is None:
+                        code = seen[term] = len(vocab)
+                        vocab.append(term)
+                    codes_parts.append(np.full(len(d), code, np.int64))
+                    d_parts.append(d)
+                    t_parts.append(tf)
+            if not d_parts:
+                return
+            codes = np.concatenate(codes_parts)
+            docids = np.concatenate(d_parts)
+            tfs = np.concatenate(t_parts)
+            order = np.lexsort((docids, codes))
+            codes, docids, tfs = codes[order], docids[order], tfs[order]
+            terms_arr = np.asarray(vocab, object)[codes]
+            doclens = dl_bc.value[docids - base0] if dl_bc is not None else None
+            rows = encode_many(
+                terms_arr, docids // ssz, docids, tfs, doclens, avg2, bsz
+            )
+            yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
+
+        pg_expr = F.pmod(F.hash("term"), F.lit(n_pgroups))
+        segp = read_segments(spark, store, SEG_POSTINGS).select("term", "blocks")
+        enc = (
+            segp.repartition(n_pgroups, pg_expr)
+            .mapInPandas(reencode, schema=POSTINGS_SCHEMA)
+            .withColumn("pgroup", pg_expr)
+        )
+        enc.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
+
+        # ---- docs: append the segment rows in the base column order ---------
+        base_cols = [f.name for f in store.read(spark, "docs").schema.fields]
+        store.append("docs", seg_docs.select(*base_cols))
+
+        # ---- shard_sizes: extend the straddle shard, add new shards ---------
+        def pack_new(key, pdf_in):
+            (shard,) = key
+            order = np.argsort(pdf_in["docid"].to_numpy(), kind="stable")
+            dids = pdf_in["docid"].to_numpy()[order]
+            dls = pdf_in["doclength"].to_numpy()[order].astype("<u4")
+            start = int(dids[0])
+            if not (dids == np.arange(start, start + len(dids))).all():
+                raise ValueError(f"shard {shard}: segment docids not dense")
+            return pd.DataFrame(
+                [{"shard": int(shard), "new_start": start,
+                  "count": len(dids), "dl_bin": dls.tobytes()}]
+            )
+
+        new_runs = (
+            seg_docs.withColumn(
+                "shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int")
+            )
+            .select("shard", "docid", "doclength")
+            .groupBy("shard")
+            .applyInPandas(
+                pack_new, schema="shard int, new_start bigint, count int, dl_bin binary"
+            )
+            .collect()  # ≤ one row per affected shard — tiny
+        )
+        existing = {
+            r["shard"]: r
+            for r in papq.read_table(store.path("shard_sizes")).to_pylist()
+        }
+        for r in new_runs:
+            s = int(r["shard"])
+            if s in existing:  # straddle shard: bytes concatenate
+                e = existing[s]
+                if int(r["new_start"]) != int(e["start_docid"]) + int(e["count"]):
+                    raise ValueError(f"shard {s}: segment run does not extend the base run")
+                existing[s] = {
+                    "shard": s, "start_docid": int(e["start_docid"]),
+                    "count": int(e["count"]) + int(r["count"]),
+                    "dl_bin": bytes(e["dl_bin"]) + bytes(r["dl_bin"]),
+                }
+            else:
+                if int(r["new_start"]) != s * shard_size:
+                    raise ValueError(f"shard {s}: new shard does not start at its boundary")
+                existing[s] = {
+                    "shard": s, "start_docid": s * shard_size,
+                    "count": int(r["count"]), "dl_bin": bytes(r["dl_bin"]),
+                }
+        rows = [existing[s] for s in sorted(existing)]
+        _write_table_local(
+            store, "shard_sizes",
+            pa.table({
+                "shard": pa.array([r["shard"] for r in rows], pa.int32()),
+                "start_docid": pa.array([r["start_docid"] for r in rows], pa.int64()),
+                "count": pa.array([r["count"] for r in rows], pa.int32()),
+                "dl_bin": pa.array([r["dl_bin"] for r in rows], pa.binary()),
+            }),
+        )
+
+        # ---- term_stats: merge-aggregate (∝ vocabulary, not corpus) ---------
+        seg_ts = (
+            read_segments(spark, store, SEG_POSTINGS)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        merged = (
+            store.read(spark, "term_stats")
+            .select("term", "df", "cf")
+            .unionAll(seg_ts)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .withColumn("pgroup", pg_expr)
+        )
+        store.write("term_stats", merged)
+
+        # ---- meta ------------------------------------------------------------
+        from ciff_spark.build import _table_num_rows
+
+        store.write_meta_local(
+            num2, _table_num_rows(store, "term_stats"), total2, avgdl2,
+            shard_size, block_size, str(meta.get("description", "")),
+            bounds_avgdl=min(bounds_avgdl, avgdl2), n_pgroups=n_pgroups,
+        )
+    finally:
+        seg_docs.unpersist()
+
+
+def _write_table_local(store: IndexStore, table: str, tbl) -> None:
+    """Atomic driver-side table rewrite (pyarrow, temp dir + rename) for
+    tables that are metadata-sized (shard_sizes: one row per shard)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    final = store.path(table)
+    tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    papq.write_table(tbl, f"{tmp}/part-00000.parquet")
+    open(f"{tmp}/_SUCCESS", "w").close()
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
 
 
 def streaming_windowed_events(

@@ -46,6 +46,7 @@ def wand_topk(
     round_decimals: int | None = None,
     initial_theta: float | None = None,
     decode_caches: list[dict] | None = None,
+    bound_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -76,6 +77,12 @@ def wand_topk(
     serving path's posting-list cache (query logs are Zipf; a hot term's
     blocks decode once, not once per query). Callers own eviction. Without
     it, a per-call cache deduplicates decodes within one invocation.
+
+    ``bound_scale`` (≥ 1): inflate every block bound by this factor. Block
+    bounds are exact under the avgdl they were ENCODED with; tfnorm grows
+    with avgdl, so after compaction moves the collection avgdl past it the
+    caller passes max(1, avgdl / meta.bounds_avgdl) — the sup of the per-doc
+    drift ratio — keeping pruning sound (looser, never unsound).
     """
     if not lists or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -93,7 +100,7 @@ def wand_topk(
         mtf = np.array([b["max_tfnorm"] for b in blocks], np.float64)
         los.append(lo)
         his.append(hi)
-        bounds.append(np.maximum(idf * mtf, 0.0))
+        bounds.append(np.maximum(idf * mtf, 0.0) * float(bound_scale))
         if decode_prevs is not None:
             prevs.append(np.asarray(decode_prevs, np.int64))
         else:

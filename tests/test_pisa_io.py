@@ -62,13 +62,25 @@ def test_toy_ciff_pisa_ciff_fixed_point(tmp_path):
         assert a.postings == b.postings  # identical gaps + tfs
 
 
-def test_pisa_rejects_unsorted_terms(tmp_path):
-    with pytest.raises(ValueError, match="sorted"):
-        write_pisa(
-            str(tmp_path / "x"), ["b", "a"],
-            {"b": (np.array([0]), np.array([1])), "a": (np.array([0]), np.array([1]))},
-            np.array([1]), ["d0"],
-        )
+def test_pisa_reorders_unsorted_terms(tmp_path):
+    """Scrambled input terms come back sorted with postings following their
+    term — the reference's silent write-side reorder (check_lines_sorted +
+    reorder_pisa_index, src/lib.rs:556-558; metamorphic golden in
+    tests/toy.rs:146-226)."""
+    from ciff_spark.pisa_io import read_pisa
+
+    scrambled = ["c", "a", "b"]
+    postings = {
+        "c": (np.array([2]), np.array([30])),
+        "a": (np.array([0, 1]), np.array([1, 2])),
+        "b": (np.array([1]), np.array([9])),
+    }
+    write_pisa(str(tmp_path / "x"), scrambled, postings, np.array([2, 3, 4]), ["d0", "d1", "d2"])
+    terms, got, sizes, titles = read_pisa(str(tmp_path / "x"))
+    assert terms == ["a", "b", "c"]
+    for t in terms:
+        np.testing.assert_array_equal(got[t][0], postings[t][0])
+        np.testing.assert_array_equal(got[t][1], postings[t][1])
 
 
 def test_export_index_to_pisa(spark, tmp_path):

@@ -150,6 +150,81 @@ def test_torn_segment_invisible_to_readers(spark, tmp_path):
     assert FreshSearcher(root).fresh_num_docs == len(pdf)
 
 
+def test_concat_compaction_equals_rebuild(spark, tmp_path):
+    """Metamorphic: concat compaction (decode+re-encode SEGMENTS only, append
+    rows, extend shard_sizes, merge stats) must be semantically identical to
+    a full rebuild over the same rows — same decoded per-term postings, same
+    collection stats, rank-identical top-k — while never rewriting a base
+    postings file (cost ∝ segment size is the whole point)."""
+    import glob as g
+
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.functions.codec import decode_postings
+    from ciff_spark.query import IndexReader
+    from ciff_spark.serve import LocalSearcher
+    from ciff_spark.streaming.incremental import compact_segments
+
+    pdf = transcripts_pdf(30, seed=11).sort_values(["conv_id", "turn_idx"])
+    convs = sorted(pdf["conv_id"].unique())
+    base_pdf = pdf[pdf.conv_id.isin(convs[:18])]
+    b1 = pdf[pdf.conv_id.isin(convs[18:24])]
+    b2 = pdf[pdf.conv_id.isin(convs[24:])]
+
+    cfg = BuildConfig(n_shards=3, n_pgroups=4)
+    root = str(tmp_path / "cmp_idx")
+    build_index(spark.createDataFrame(base_pdf), root, config=cfg, resume=False)
+    store = IndexStore(root)
+    append_batch(spark, store, spark.createDataFrame(b1), 0)
+    append_batch(spark, store, spark.createDataFrame(b2), 1)
+
+    pre_files = set(g.glob(f"{root}/postings/pgroup=*/*.parquet"))
+    compact_segments(spark, root)
+    post_files = set(g.glob(f"{root}/postings/pgroup=*/*.parquet"))
+    assert pre_files <= post_files, "compaction rewrote base postings files"
+    assert not g.glob(f"{root}/seg_*"), "segments not dropped"
+
+    root2 = str(tmp_path / "rebuilt_idx")
+    build_index(spark.createDataFrame(pdf), root2, config=cfg, resume=False)
+    store2 = IndexStore(root2)
+
+    def gather(st):
+        out = {}
+        rows = st.read(spark, "postings").orderBy(
+            "term", "shard", F.expr("blocks[0].max_docid")
+        ).collect()
+        for r in rows:
+            d, t = decode_postings([b.asDict() for b in r["blocks"]])
+            if r["term"] in out:
+                d0, t0 = out[r["term"]]
+                d, t = np.concatenate([d0, d]), np.concatenate([t0, t])
+            out[r["term"]] = (d, t)
+        return out
+
+    got, exp = gather(store), gather(store2)
+    assert set(got) == set(exp)
+    for term in exp:
+        np.testing.assert_array_equal(got[term][0], exp[term][0], err_msg=term)
+        np.testing.assert_array_equal(got[term][1], exp[term][1], err_msg=term)
+
+    m1, m2 = store.meta_local(), store2.meta_local()
+    # shard_size is a layout parameter fixed at base-build time (compaction
+    # keeps the base sharding) — only the semantic stats must agree
+    for k in ("num_docs", "num_terms", "total_terms"):
+        assert m1[k] == m2[k], k
+    assert m1["avgdl"] == pytest.approx(m2["avgdl"])
+
+    s1, s2 = LocalSearcher(root), LocalSearcher(root2)
+    np.testing.assert_array_equal(s1.dl, s2.dl)
+    queries = ["the and", "turn tool", "a of to", pdf.iloc[0]["text"][:40]]
+    for q in queries:
+        assert s1.search(q, k=10) == s2.search(q, k=10), q
+    r1, r2 = IndexReader(spark, root), IndexReader(spark, root2)
+    batch = [(i, q) for i, q in enumerate(queries)]
+    t1 = sorted(map(tuple, r1.topk(batch, k=10, mode="wand").collect()))
+    t2 = sorted(map(tuple, r2.topk(batch, k=10, mode="wand").collect()))
+    assert t1 == t2
+
+
 def test_streaming_windowed_events(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     indir = str(tmp_path / "ev")
