@@ -140,6 +140,24 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
     queries["bm25_serve_p95_ms"] = round(slats[int(len(slats) * 0.95)] * 1000, 2)
     log(f"local serve p50={queries['bm25_serve_p50_ms']}ms p95={queries['bm25_serve_p95_ms']}ms")
 
+    # WAND pruning effectiveness: blocks decoded / blocks in the query lists
+    # (fresh searcher so the hot-list cache doesn't hide decodes; the
+    # interval kernel processes intervals in descending U — the query-time
+    # equivalent of impact ordering — so this ratio is the pruning metric)
+    wstats: dict = {}
+    cold = LocalSearcher(index_root_for(sf_dir))
+    for _, qtext in batch[:10]:
+        cold.search(qtext, k=10, stats=wstats)
+    decode_ratio = (
+        wstats.get("decoded_blocks", 0) / wstats["total_blocks"]
+        if wstats.get("total_blocks")
+        else 0.0
+    )
+    log(
+        f"wand decode ratio: {wstats.get('decoded_blocks', 0)}/"
+        f"{wstats.get('total_blocks', 0)} = {decode_ratio:.3f}"
+    )
+
     # 4. operator families (one action each)
     singles = {
         "bm25_relational_mix": lambda: index_queries.QUERIES["bm25_rel_mix"][0](spark, sf_dir).count(),
@@ -175,6 +193,7 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
         "cores": cores,
         "bench_convs": n_convs,
         "index_build_turns_per_sec": round(turns_per_sec, 1),
+        "wand_block_decode_ratio": round(decode_ratio, 4),
     }
 
 

@@ -82,14 +82,22 @@ A3_SQL = f"SELECT docid, count(*)::BIGINT AS doclength FROM ({_TOKS_SQL}) GROUP 
 # ---------------------------------------------------------------------------
 
 def a4_index_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan: explode_outer keeps token-less docs as a NULL-term row, so
+    # count_distinct(docid) counts every doc while count(term)/
+    # count_distinct(term) ignore the NULLs — no separate docs.count() pass
+    # (this header stat is the pattern the 100 TB path copies)
     docs = load(spark, sf_dir, "documents")
-    toks = _toks(spark, sf_dir)
-    num_docs = docs.count()
+    toks = docs.select(
+        F.col("doc_id").alias("docid"),
+        F.explode_outer(tokenize_expr("text")).alias("term"),
+    )
     return toks.agg(
-        F.lit(num_docs).cast("long").alias("num_docs"),
+        F.count_distinct("docid").alias("num_docs"),
         F.count_distinct("term").alias("num_terms"),
-        F.count("*").alias("total_terms"),
-        F.round(F.count("*") / F.lit(num_docs), SCORE_DECIMALS).alias("avgdl"),
+        F.count("term").alias("total_terms"),
+        F.round(
+            F.count("term") / F.count_distinct("docid"), SCORE_DECIMALS
+        ).alias("avgdl"),
     )
 
 

@@ -154,10 +154,13 @@ class LocalSearcher:
                 self._hot.popitem(last=False)
         return out
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, stats: dict | None = None
+    ) -> list[tuple[int, float]]:
         """BM25 top-k: [(docid, score)] — identical semantics to the
         distributed readers (WAND over per-term blocks; shards of a term
-        concatenate in shard order so their blocks form one valid list)."""
+        concatenate in shard order so their blocks form one valid list).
+        ``stats``: optional dict accumulating wand_topk's decode counters."""
         terms = sorted(set(tokenize_py(query)))
         lists_by_term = self._fetch_lists(terms)
         if not lists_by_term:
@@ -170,7 +173,7 @@ class LocalSearcher:
             caches.append(cache)
         d, s = wand_topk(
             lists, self.dl, 0, self.avgdl, k,
-            decode_caches=caches, bound_scale=self.bound_scale,
+            decode_caches=caches, bound_scale=self.bound_scale, stats=stats,
         )
         return list(zip(d.tolist(), s.tolist()))
 

@@ -47,6 +47,7 @@ def wand_topk(
     initial_theta: float | None = None,
     decode_caches: list[dict] | None = None,
     bound_scale: float = 1.0,
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -83,6 +84,14 @@ def wand_topk(
     with avgdl, so after compaction moves the collection avgdl past it the
     caller passes max(1, avgdl / meta.bounds_avgdl) — the sup of the per-doc
     drift ratio — keeping pruning sound (looser, never unsound).
+
+    ``stats``: optional dict accumulating pruning-effectiveness counters
+    across calls: ``decoded_blocks`` (blocks actually decoded this call,
+    cache hits excluded) and ``total_blocks`` (all blocks of the query
+    lists). Ding & Suel's storage-level impact ordering is a no-op for this
+    kernel — intervals already process in descending U, the query-time
+    equivalent, and blocks must stay docid-ascending on disk for the lo/hi
+    geometry — so decode count IS the pruning metric to watch.
     """
     if not lists or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -123,6 +132,10 @@ def wand_topk(
     caches: list[dict] = (
         decode_caches if decode_caches is not None else [{} for _ in lists]
     )
+    if stats is not None:
+        stats["total_blocks"] = stats.get("total_blocks", 0) + sum(
+            len(b) for _, b, _ in lists
+        )
 
     for t in order:
         theta = heap[0][0] if len(heap) >= k else theta_floor
@@ -139,6 +152,8 @@ def wand_topk(
             got = caches[i].get(j)
             if got is None:
                 got = caches[i][j] = _decode_block_arrays(blocks[j], int(prevs[i][j]))
+                if stats is not None:
+                    stats["decoded_blocks"] = stats.get("decoded_blocks", 0) + 1
             d, tf = got
             a, b = np.searchsorted(d, s), np.searchsorted(d, e + 1)
             if a == b:
