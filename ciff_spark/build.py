@@ -71,6 +71,13 @@ class BuildConfig:
                                  # turn_idx is dense per conv: the wide rows
                                  # never range-shuffle (falls back if not)
     dl_broadcast_max_docs: int = 5_000_000  # exact block bounds via dl broadcast up to here
+    row_tf_combine: bool = False  # map-side combine: collapse a doc's
+        # duplicate tokens to (term, tf) BEFORE the shuffle. Measured A/B at
+        # pinned local[4], 655k turns: OFF 48.7 s vs ON 96.4 s — the O(u·n)
+        # per-row JVM counting costs ~2× more than the ~33% exchange-row
+        # saving buys, i.e. this exchange is NOT the build's bottleneck.
+        # Kept (default off) for corpora with much higher in-doc duplication
+        # (long docs, small vocab) where the trade reverses.
     fail_after_batches: int | None = None  # test hook: simulate a crash mid-build
 
 
@@ -177,23 +184,51 @@ def build_index(
     n_encode_parts = cfg.encode_partitions or max(
         cfg.n_pgroups, 2 * spark.sparkContext.defaultParallelism
     )
+    if cfg.row_tf_combine:
+        # map-side combine: a doc's duplicate tokens collapse to (term, tf)
+        # BEFORE the exchange — ~33% fewer shuffled rows on transcripts; the
+        # 1000-executor shuffle wants exactly this partial aggregation.
+        # tokens stays a referenced alias so the tokenizer regex evaluates
+        # once (CollapseProject keeps multi-referenced non-cheap aliases in
+        # their own projection — plan-guard-tested).
+        from ciff_spark.functions.tokenizer import tokens_tf_expr
+
+        occ = (
+            ranked.select("docid", _tokens_col(cfg).alias("tokens"))
+            .select("docid", F.explode(tokens_tf_expr(F.col("tokens"))).alias("e"))
+            .select(
+                "docid",
+                F.col("e.term").alias("term"),
+                F.col("e.tf").cast("long").alias("tf"),
+            )
+        )
+    else:
+        # default: raw occurrences, NO tf column — one implicit occurrence
+        # per row keeps the shuffled/cached relation 8 bytes/row leaner (the
+        # kernel counts run lengths instead)
+        occ = (
+            ranked.select("docid", _tokens_col(cfg).alias("tokens"))
+            .select("docid", F.explode("tokens").alias("term"))
+        )
     tf = (
-        ranked.select("docid", _tokens_col(cfg).alias("tokens"))
-        .select("docid", F.explode("tokens").alias("term"))
         # partition on (pgroup, docid-shard) EXPRESSIONS: the shuffled/cached
-        # rows carry only (docid, term); every (term, shard) encode group
-        # stays whole inside one partition, but a Zipf-hot term's stream
-        # spreads over its docid shards instead of landing on ONE reducer —
-        # this is the salted-hot-term split, applied at the partition level
-        # (without it the hottest term's pgroup is the stage straggler and
-        # the N→4N scaling dies on it)
-        .repartition(n_encode_parts, pgroup_expr, shard_expr)
+        # rows carry only (docid, term[, tf]); every (term, shard) encode
+        # group stays whole inside one partition, but a Zipf-hot term's
+        # stream spreads over its docid shards instead of landing on ONE
+        # reducer — this is the salted-hot-term split, applied at the
+        # partition level (without it the hottest term's pgroup is the stage
+        # straggler and the N→4N scaling dies on it)
+        occ.repartition(n_encode_parts, pgroup_expr, shard_expr)
     ).persist()
+    has_tf_col = "tf" in tf.columns
 
     if not have_stats:
-        # doclength ≡ Σtf per doc (token count) = plain row count of the
-        # occurrence cache — this action also materializes it
-        total_terms = int(tf.count())
+        # doclength ≡ Σtf per doc (token count) — this action also
+        # materializes the occurrence cache
+        if has_tf_col:
+            total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
+        else:
+            total_terms = int(tf.count())
         avgdl = total_terms / num_docs if num_docs else 0.0
 
     # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
@@ -213,7 +248,8 @@ def build_index(
         # doclength 0 — the id map left-joins the per-doc tf sums (both
         # sides skinny; the id rescan prunes the text column)
         idmap = ranked.select("docid", *id_keep)
-        sums = tf.groupBy("docid").agg(F.count("*").cast("int").alias("_dl"))
+        _dl_agg = F.sum("tf") if has_tf_col else F.count("*")
+        sums = tf.groupBy("docid").agg(_dl_agg.cast("int").alias("_dl"))
         dlen = idmap.join(sums, "docid", "left").select(
             "docid", *id_keep,
             F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
@@ -305,6 +341,10 @@ def build_index(
                 rank[lex] = np.arange(len(lex), dtype=np.int64)
                 keys = rank[codes]
                 docids = tbl.column("docid").to_numpy()
+                has_tf = "tf" in tbl.column_names
+                tfs_in = (
+                    tbl.column("tf").to_numpy().astype(np.int64) if has_tf else None
+                )
                 order = np.lexsort((docids, keys))
                 keys = keys[order]
                 docids = docids[order]
@@ -314,7 +354,12 @@ def build_index(
                 new[0] = True
                 new[1:] = (keys[1:] != keys[:-1]) | (docids[1:] != docids[:-1])
                 starts = np.flatnonzero(new)
-                tfs = np.diff(np.append(starts, n))
+                # run-length tf combine: run length when rows are raw
+                # occurrences, Σ per-row tf when pre-combined (row_tf_combine)
+                if has_tf:
+                    tfs = np.add.reduceat(tfs_in[order], starts)
+                else:
+                    tfs = np.diff(np.append(starts, n))
                 docids_u = docids[starts]
                 doclens = dl_bc.value[docids_u] if dl_bc is not None else None
                 yield encode_arrow_batch(

@@ -63,13 +63,63 @@ def build_lexicon(strings: list[str]) -> bytes:
 
 
 def read_lexicon(buf: bytes) -> list[str]:
-    (count,) = struct.unpack_from("<Q", buf, 0)
-    offsets = np.frombuffer(buf, dtype="<u8", count=count + 1, offset=8)
-    base = 8 + 8 * (count + 1)
-    return [
-        buf[base + int(offsets[i]) : base + int(offsets[i + 1])].decode()
-        for i in range(count)
-    ]
+    return list(LexiconView(buf))
+
+
+class LexiconView:
+    """O(1) random access over a payload-vector lexicon buffer without
+    materializing the strings — the shape of the reference's
+    ``PayloadSlice::get`` over an mmap (/root/reference/src/
+    payload_vector.rs:196-206). Pass an ``mmap.mmap`` (or bytes) as ``buf``;
+    only the offset table is loaded eagerly (8 bytes per entry), each
+    ``[i]`` decodes just its own payload slice. ``index_of`` binary-searches
+    a SORTED lexicon (terms are; titles need not be)."""
+
+    def __init__(self, buf) -> None:
+        (self._count,) = struct.unpack_from("<Q", buf, 0)
+        self._offsets = np.frombuffer(
+            buf, dtype="<u8", count=self._count + 1, offset=8
+        )
+        self._base = 8 + 8 * (self._count + 1)
+        self._buf = buf
+
+    def __len__(self) -> int:
+        return self._count
+
+    def __getitem__(self, i: int) -> str:
+        if not 0 <= i < self._count:
+            raise IndexError(i)
+        lo = self._base + int(self._offsets[i])
+        hi = self._base + int(self._offsets[i + 1])
+        return bytes(self._buf[lo:hi]).decode()
+
+    def __iter__(self):
+        for i in range(self._count):
+            yield self[i]
+
+    def index_of(self, s: str) -> int | None:
+        """Binary search (sorted lexicons only): index of ``s`` or None —
+        O(log n) payload decodes, never a full materialization."""
+        lo, hi = 0, self._count
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = self[mid]
+            if v < s:
+                lo = mid + 1
+            elif v > s:
+                hi = mid
+            else:
+                return mid
+        return None
+
+
+def open_lexicon(path: str) -> LexiconView:
+    """Memory-map a .termlex/.doclex file — the reference's access pattern
+    (mmap + O(1) slice), no upfront string decode."""
+    import mmap
+
+    f = open(path, "rb")
+    return LexiconView(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
 
 
 # ---------------------------------------------------------------------------

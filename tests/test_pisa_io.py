@@ -39,6 +39,26 @@ def test_lexicon_roundtrip():
     assert np.frombuffer(buf, "<u8", 3, 8).tolist() == [0, 2, 3]
 
 
+def test_lexicon_view_random_access(tmp_path):
+    """O(1)/O(log n) access without materializing — PayloadSlice::get shape
+    (payload_vector.rs:196-206), incl. the mmap'd file path."""
+    from ciff_spark.pisa_io import LexiconView, open_lexicon
+
+    strings = sorted(f"term{i:05d}" for i in range(500))
+    view = LexiconView(build_lexicon(strings))
+    assert len(view) == 500
+    assert view[0] == strings[0] and view[499] == strings[499] and view[250] == strings[250]
+    with pytest.raises(IndexError):
+        view[500]
+    assert view.index_of("term00123") == 123
+    assert view.index_of("nope") is None
+    p = tmp_path / "x.termlex"
+    p.write_bytes(build_lexicon(strings))
+    mv = open_lexicon(str(p))
+    assert mv[42] == strings[42]
+    assert mv.index_of(strings[499]) == 499
+
+
 def test_toy_ciff_pisa_ciff_fixed_point(tmp_path):
     """The reference's round-trip golden test, run through OUR converters."""
     base = str(tmp_path / "toy")
