@@ -157,6 +157,45 @@ def _bm25_indexed(query: str, mode: str):
     return fn
 
 
+def _bm25_fresh(query: str, base_frac: float = 0.8):
+    """Streaming-freshness correctness, driver-checkable: index the FIRST
+    ``base_frac`` of documents as the base, stream the rest in as a segment
+    (``append_batch``), search with ``FreshSearcher`` — whose recomputed
+    base∪segment collection stats must make results rank-identical to plain
+    BM25 over the WHOLE table, i.e. the same DuckDB oracle every bm25_* entry
+    uses. Proves fresh ≡ rebuild against an independent engine."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        from ciff_spark.serve import FreshSearcher
+        from ciff_spark.store import IndexStore
+        from ciff_spark.streaming.incremental import append_batch
+
+        docs = load(spark, sf_dir, "documents")
+        n = docs.count()
+        cut = int(n * base_frac)
+        root = index_root_for(sf_dir) + "_fresh"
+        store = IndexStore(root)
+        if not store.exists("meta"):
+            build_index(
+                docs.where(F.col("doc_id") < cut), root,
+                id_cols=("doc_id",), docid_col="doc_id",
+                config=BuildConfig(n_shards=8, n_pgroups=16),
+                resume=False,
+                description=f"fresh-base documents index @ {sf_dir}",
+            )
+            append_batch(
+                spark, store, docs.where(F.col("doc_id") >= cut), 0,
+                id_cols=("doc_id",),
+            )
+        hits = FreshSearcher(root).search(query, k=K, round_decimals=SCORE_DECIMALS)
+        pdf = pd.DataFrame(hits, columns=["doc_id", "score"])
+        return spark.createDataFrame(pdf, "doc_id bigint, score double")
+
+    return fn
+
+
 QUERIES: dict[str, tuple] = {
     "a1_invert_tf": (a1_invert_tf, A1_SQL),
     "a2_term_stats": (a2_term_stats, A2_SQL),
@@ -170,4 +209,7 @@ QUERIES: dict[str, tuple] = {
     "bm25_idx_wand_mix": (_bm25_indexed(Q_MIX, "wand"), bm25_topk_sql(Q_MIX, K)),
     "bm25_idx_wand_rare": (_bm25_indexed(Q_RARE, "wand"), bm25_topk_sql(Q_RARE, K)),
     "bm25_idx_wand_multi": (_bm25_indexed(Q_MULTI, "wand"), bm25_topk_sql(Q_MULTI, K)),
+    # streaming freshness: base index + streamed segment, FreshSearcher vs
+    # the SAME whole-table oracle (fresh ≡ rebuild, checked cross-engine)
+    "bm25_fresh_mix": (_bm25_fresh(Q_MIX), bm25_topk_sql(Q_MIX, K)),
 }

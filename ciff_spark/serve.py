@@ -236,7 +236,12 @@ class FreshSearcher(LocalSearcher):
         self.fresh_total = int(self.dl.sum()) + sum(self.seg_dl.values())
         self.fresh_avgdl = self.fresh_total / self.fresh_num_docs if self.fresh_num_docs else 0.0
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, round_decimals: int | None = None
+    ) -> list[tuple[int, float]]:
+        """``round_decimals``: rank on rounded scores (docid tiebreak) — the
+        driver/oracle ordering contract; sound here because scoring is
+        exhaustive (no pruning threshold to guard)."""
         from ciff_spark.functions.scoring import tfnorm_np
 
         terms = sorted(set(tokenize_py(query)))
@@ -284,5 +289,10 @@ class FreshSearcher(LocalSearcher):
                 contrib = idf * tfnorm_np(tf, dls, self.fresh_avgdl)
                 for dd, cc in zip(d.tolist(), contrib.tolist()):
                     scores[dd] = scores.get(dd, 0.0) + cc
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        items = (
+            [(d, round(s, round_decimals)) for d, s in scores.items()]
+            if round_decimals is not None
+            else list(scores.items())
+        )
+        ranked = sorted(items, key=lambda kv: (-kv[1], kv[0]))[:k]
         return ranked
