@@ -386,46 +386,24 @@ def build_index(
                 # min(n_shards, n_encode_parts) tasks, so its dir holds that
                 # many files after partitionBy — bounded by the shard count,
                 # and serving prunes to ≤|q| pgroup dirs via term_stats.pgroup
-                part = (
+                # ONE materialization: encode → write directly (no persist +
+                # metrics-agg job over the encoded blocks — that cached and
+                # re-read the whole encoded output); manifest metrics come
+                # from the files just written, driver-side (footer num_rows,
+                # file sizes, and the skinny df column — vocab-sized reads;
+                # on Iceberg these come free from snapshot stats)
+                (
                     tf.where(pgroup_expr.isin(batch))
                     .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
                     .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
-                ).persist()
-                # per-pgroup manifest metrics from the cached frame (one encode
-                # pass; on Iceberg these would come free from snapshot stats)
-                m_rows = (
-                    part.groupBy("pgroup")
-                    .agg(
-                        F.count("*").alias("rows"),
-                        F.sum("df").alias("postings"),
-                        F.sum(
-                            F.aggregate(
-                                "blocks",
-                                F.lit(0).cast("long"),
-                                lambda acc, b: acc
-                                + F.length(b["docs_bin"])
-                                + F.length(b["tfs_bin"]),
-                            )
-                        ).alias("bytes"),
-                    )
-                    .collect()
-                )
-                part.write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
-                part.unpersist()
+                ).write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
                 wall = int((time.time() - t0) * 1000)
                 # manifest AFTER the data commit → a crash between the two re-runs
                 # the batch; the cleanup above makes that idempotent
-                stats_by_g = {int(r["pgroup"]): r for r in m_rows}
                 _lineage_rows(
                     store, spark,
                     [
-                        (
-                            "postings", g,
-                            int(stats_by_g[g]["rows"]) if g in stats_by_g else 0,
-                            int(stats_by_g[g]["postings"]) if g in stats_by_g else 0,
-                            int(stats_by_g[g]["bytes"]) if g in stats_by_g else 0,
-                            wall, "done",
-                        )
+                        ("postings", g, *_pgroup_file_stats(store, g), wall, "done")
                         for g in batch
                     ],
                 )
@@ -510,6 +488,26 @@ def _lineage_rows(store, spark, rows: list[tuple]) -> None:
     d = store.path("_lineage")
     os.makedirs(d, exist_ok=True)
     papq.write_table(tbl, f"{d}/lineage-{uuid.uuid4().hex[:12]}.parquet")
+
+
+def _pgroup_file_stats(store: IndexStore, pgroup: int) -> tuple[int, int, int]:
+    """(rows, postings, bytes) for one pgroup dir from the files just
+    written — footer metadata + the skinny ``df`` column (one value per
+    (term, shard) row), driver-side pyarrow, no Spark job."""
+    import glob
+    import os
+
+    import pyarrow.parquet as papq
+
+    rows = postings = nbytes = 0
+    for f in glob.glob(f"{store.path('postings')}/pgroup={pgroup}/*.parquet"):
+        pf = papq.ParquetFile(f)
+        nr = pf.metadata.num_rows
+        rows += nr
+        nbytes += os.path.getsize(f)
+        if nr:
+            postings += sum(papq.read_table(f, columns=["df"])["df"].to_pylist())
+    return rows, postings, nbytes
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:
