@@ -310,18 +310,26 @@ def run_scaling(n_convs: int, pair: tuple[int, int] = (1, 4), repeats: int = 2) 
 
     runs = []  # one dict per repeat: {lo, hi, eff, ceiling, vs_ceiling}
     for rep in range(repeats):
-        probe = ceiling_probe(lo, hi)  # SAME-WINDOW denominator for this pair
+        # ceiling probes BRACKET the pair (before + after): co-tenant
+        # pressure shifts within the ~4 min a pair takes, and a probe from a
+        # quieter/busier moment than the legs misstates the denominator —
+        # the pair's ceiling is the mean of the bracket, both shown
+        probe0 = ceiling_probe(lo, hi)
         res = {c: one_leg(c) for c in (lo, hi)}
+        probe1 = ceiling_probe(lo, hi)
         eff = (res[hi]["turns_per_sec"] / res[lo]["turns_per_sec"]) / (hi / lo)
+        ceil_pair = (probe0["ceiling"] + probe1["ceiling"]) / 2
         runs.append({
             "lo": res[lo], "hi": res[hi], "eff": eff,
-            "ceiling": probe["ceiling"],
-            "vs_ceiling": eff / probe["ceiling"] if probe["ceiling"] else 0.0,
+            "ceiling": ceil_pair,
+            "ceiling_bracket": (probe0["ceiling"], probe1["ceiling"]),
+            "vs_ceiling": eff / ceil_pair if ceil_pair else 0.0,
         })
         log(
             f"pair run {rep + 1}/{repeats}: efficiency {eff:.3f}, "
-            f"same-window ceiling {probe['ceiling']:.3f} "
-            f"(job at {100 * runs[-1]['vs_ceiling']:.0f}% of ceiling)"
+            f"same-window ceiling {ceil_pair:.3f} "
+            f"(bracket {probe0['ceiling']:.3f}/{probe1['ceiling']:.3f}; "
+            f"job at {100 * runs[-1]['vs_ceiling']:.0f}% of ceiling)"
         )
 
     effs = [r["eff"] for r in runs]
@@ -335,7 +343,7 @@ def run_scaling(n_convs: int, pair: tuple[int, int] = (1, 4), repeats: int = 2) 
     pair_rows = "\n".join(
         f"| {i + 1} | {r['lo']['build_sec']:.1f} (load {r['lo']['loadavg']}) | {r['lo']['turns_per_sec']:,.0f} "
         f"| {r['hi']['build_sec']:.1f} (load {r['hi']['loadavg']}) | {r['hi']['turns_per_sec']:,.0f} | **{r['eff']:.3f}** "
-        f"| {r['ceiling']:.3f} | {100 * r['vs_ceiling']:.0f}% |"
+        f"| {r['ceiling']:.3f} ({r['ceiling_bracket'][0]:.2f}/{r['ceiling_bracket'][1]:.2f}) | {100 * r['vs_ceiling']:.0f}% |"
         for i, r in enumerate(runs)
     )
     n_pass = sum(1 for r in runs if r["eff"] >= 0.8 or r["vs_ceiling"] >= 0.95)
@@ -350,8 +358,9 @@ host — the sandbox stand-in for N vs 4N executors per the task brief.
 {len(runs)} complete interleaved pair runs; EVERY pair's efficiency is
 reported (no passing-mean-over-a-failing-run), and every pair carries its
 OWN same-window hardware-ceiling probe (bandwidth-bound numpy streaming at
-{lo} vs {hi} pinned processes, run immediately before that pair's legs) so
-each efficiency has its own denominator:
+{lo} vs {hi} pinned processes, run immediately before AND after that pair's
+legs — the bracket is shown, the pair's denominator is its mean) so each
+efficiency has its own denominator:
 
 | pair run | local[{lo}] wall (s) | thr{lo} (turns/s) | local[{hi}] wall (s) | thr{hi} (turns/s) | efficiency | same-window ceiling | job/ceiling |
 | --- | --- | --- | --- | --- | --- | --- | --- |

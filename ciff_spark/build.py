@@ -428,6 +428,10 @@ def build_index(
         # pgroup rides along (functionally determined by term): serving uses it
         # to open only the queried terms' postings/pgroup=* dirs instead of
         # globbing every file (the r2 LocalSearcher latency regression)
+        # sortWithinPartitions: tight per-row-group term min/max stats, so
+        # driver-side idf lookups (IndexReader._idf_map, LocalSearcher) can
+        # row-group-prune their term-IN reads — on a billion-term vocabulary
+        # an unsorted column defeats the pushdown entirely
         ts = (
             store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int")
             .groupBy("term")
@@ -436,6 +440,7 @@ def build_index(
                 F.sum("cf").alias("cf"),
                 F.min("pgroup").alias("pgroup"),
             )
+            .sortWithinPartitions("term")
         )
         store.write("term_stats", ts)
         pending_lineage.append(("term_stats", -1, None, None, None, int((time.time() - t0) * 1000), "done"))

@@ -53,27 +53,65 @@ class LocalSearcher:
         for r in sorted(ss, key=lambda r: r["shard"]):
             a = np.frombuffer(r["dl_bin"], dtype="<u4")
             self.dl[r["start_docid"] : r["start_docid"] + r["count"]] = a
-        ts = pq.read_table(f"{self.root}/term_stats")
-        cols = ts.column_names
-        self._stats = ts.select(
-            ["term", "df"] + (["pgroup"] if "pgroup" in cols else [])
-        ).to_pylist()
-        self._df = {r["term"]: int(r["df"]) for r in self._stats}
-        # term → pgroup lets a query open ONLY its terms' postings/pgroup=*
-        # dirs (≤|q| of them) instead of paying file-open + row-group-stat
-        # costs across every postings file — the r2 serving regression.
-        # Older indexes without the column fall back to the full glob.
-        self._pg = (
-            {r["term"]: int(r["pgroup"]) for r in self._stats}
-            if "pgroup" in cols
-            else None
-        )
+        # term stats: eager dict for ordinary vocabularies; above the
+        # threshold, PER-TERM lazy lookups against the (term-sorted, so
+        # row-group-prunable) term_stats parquet — a billion-term index must
+        # not materialize its whole vocabulary to serve a 3-term query.
+        ts_files = sorted(glob.glob(f"{self.root}/term_stats/*.parquet"))
+        n_terms = sum(pq.ParquetFile(f).metadata.num_rows for f in ts_files)
+        self._ts_ds = ds.dataset(ts_files, format="parquet")
+        cols = self._ts_ds.schema.names
+        self._has_pg = "pgroup" in cols
+        if n_terms <= self.EAGER_STATS_MAX_TERMS:
+            ts = pq.read_table(
+                f"{self.root}/term_stats",
+                columns=["term", "df"] + (["pgroup"] if self._has_pg else []),
+            ).to_pylist()
+            self._df = {r["term"]: int(r["df"]) for r in ts}
+            # term → pgroup lets a query open ONLY its terms' postings/
+            # pgroup=* dirs (≤|q| of them) instead of paying file-open +
+            # row-group-stat costs across every postings file — the r2
+            # serving regression. Older indexes without the column fall back
+            # to the full glob.
+            self._pg = (
+                {r["term"]: int(r["pgroup"]) for r in ts} if self._has_pg else None
+            )
+            self._lazy_stats = False
+        else:
+            self._df = {}
+            self._pg = {} if self._has_pg else None
+            self._lazy_stats = True
         self._pg_ds: dict[int, ds.Dataset] = {}
         self._all_ds = None
         from collections import OrderedDict
 
         # term → ((blocks, prevs), decode_cache) — LRU over CACHE_TERMS
         self._hot: OrderedDict[str, tuple] = OrderedDict()
+
+    #: above this vocabulary size, term stats resolve lazily per query
+    EAGER_STATS_MAX_TERMS = 2_000_000
+
+    def _resolve_stats(self, terms: list[str]) -> None:
+        """Lazy path: pull (df, pgroup) for unknown query terms from the
+        sorted term_stats parquet (row-group pruned term-IN read); absent
+        terms cache as df=0 so repeats don't re-read."""
+        if not self._lazy_stats:
+            return
+        import pyarrow.compute as pc
+
+        missing = [t for t in terms if t not in self._df]
+        if not missing:
+            return
+        tbl = self._ts_ds.to_table(
+            columns=["term", "df"] + (["pgroup"] if self._has_pg else []),
+            filter=pc.field("term").isin(missing),
+        )
+        for r in tbl.to_pylist():
+            self._df[r["term"]] = int(r["df"])
+            if self._pg is not None:
+                self._pg[r["term"]] = int(r["pgroup"])
+        for t in missing:
+            self._df.setdefault(t, 0)
 
     def _dataset_for(self, pgroups: set[int] | None):
         if pgroups is None:  # no pgroup map — whole-postings fallback
@@ -102,7 +140,9 @@ class LocalSearcher:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        present = [t for t in terms if t in self._df]
+        self._resolve_stats(terms)
+        # df=0 is the lazy path's "known absent" sentinel — never fetch those
+        present = [t for t in terms if self._df.get(t)]
         if not present:
             return {}
         out: dict[str, tuple[list, list, dict]] = {}
@@ -231,6 +271,22 @@ class FreshSearcher(LocalSearcher):
             if seg_post_files
             else []
         )
+        # dense doclength array for segment docids (base..base+n-1 — the
+        # commit protocol guarantees the dense continuation); vectorized
+        # scoring indexes it directly
+        if self.seg_dl:
+            lo, hi = min(self.seg_dl), max(self.seg_dl)
+            if not (lo == self.num_docs and hi - lo + 1 == len(self.seg_dl)):
+                raise ValueError(
+                    f"segments are not the dense continuation of the base: "
+                    f"base={self.num_docs}, segment docids [{lo},{hi}] "
+                    f"({len(self.seg_dl)} rows)"
+                )
+            self._seg_dl_np = np.zeros(len(self.seg_dl), np.float64)
+            for dd, dl in self.seg_dl.items():
+                self._seg_dl_np[dd - self.num_docs] = dl
+        else:
+            self._seg_dl_np = np.zeros(0, np.float64)
         # combined collection statistics
         self.fresh_num_docs = self.num_docs + len(self.seg_dl)
         self.fresh_total = int(self.dl.sum()) + sum(self.seg_dl.values())
@@ -253,7 +309,10 @@ class FreshSearcher(LocalSearcher):
             if r["term"] in terms:
                 seg_lists.setdefault(r["term"], []).append(r)
 
-        scores: dict[int, float] = {}
+        # vectorized accumulation: gather (docid, contrib) arrays per term,
+        # then one unique+add.at pass — no per-posting Python
+        acc_d: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
         for t in terms:
             # global df across base + segments
             df = self._df.get(t, 0)
@@ -281,18 +340,26 @@ class FreshSearcher(LocalSearcher):
                     parts_tf.append(tf)
                 d = np.concatenate(parts_d)
                 tf = np.concatenate(parts_tf)
-                contrib = idf * tfnorm_np(tf, self.dl[d], self.fresh_avgdl)
-                for dd, cc in zip(d.tolist(), contrib.tolist()):
-                    scores[dd] = scores.get(dd, 0.0) + cc
+                acc_d.append(d)
+                acc_c.append(idf * tfnorm_np(tf, self.dl[d], self.fresh_avgdl))
             for d, tf in seg_decoded:
-                dls = np.array([self.seg_dl[int(x)] for x in d], np.float64)
-                contrib = idf * tfnorm_np(tf, dls, self.fresh_avgdl)
-                for dd, cc in zip(d.tolist(), contrib.tolist()):
-                    scores[dd] = scores.get(dd, 0.0) + cc
-        items = (
-            [(d, round(s, round_decimals)) for d, s in scores.items()]
-            if round_decimals is not None
-            else list(scores.items())
-        )
-        ranked = sorted(items, key=lambda kv: (-kv[1], kv[0]))[:k]
-        return ranked
+                dls = self._seg_dl_arr(d)
+                acc_d.append(d)
+                acc_c.append(idf * tfnorm_np(tf, dls, self.fresh_avgdl))
+        if not acc_d:
+            return []
+        alld = np.concatenate(acc_d)
+        allc = np.concatenate(acc_c)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        scores = np.zeros(len(uniq), np.float64)
+        np.add.at(scores, inv, allc)
+        if round_decimals is not None:
+            scores = np.round(scores, round_decimals)
+        # rank by (-score, docid): uniq is already docid-ascending, so a
+        # stable sort on -score preserves the tiebreak
+        order = np.argsort(-scores, kind="stable")[:k]
+        return [(int(uniq[i]), float(scores[i])) for i in order]
+
+    def _seg_dl_arr(self, docids: np.ndarray) -> np.ndarray:
+        dls = self._seg_dl_np
+        return dls[docids - self.num_docs]

@@ -193,7 +193,7 @@ def build_index_from_doc_vectors(
     ts = store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int").groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf"),
         F.min("pgroup").alias("pgroup"),
-    )
+    ).sortWithinPartitions("term")
     store.write("term_stats", ts)
     num_terms = store.read(spark, "term_stats").count()
     store.write(

@@ -458,6 +458,7 @@ def _fold_segments(
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             .withColumn("pgroup", pg_expr)
+            .sortWithinPartitions("term")  # keep row-group pruning sharp
         )
         store.write("term_stats", merged)
 

@@ -44,6 +44,23 @@ def test_local_search_matches_oracle(served):
         assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-9), q
 
 
+def test_lazy_term_stats_identical(served, monkeypatch):
+    """Huge-vocabulary shape: stats resolve per query (row-group-pruned reads
+    of the sorted term_stats) instead of materializing the vocabulary —
+    results must be identical to the eager path, absent terms cached."""
+    searcher, _ = served
+    monkeypatch.setattr(LocalSearcher, "EAGER_STATS_MAX_TERMS", 0)
+    lazy = LocalSearcher(searcher.root)
+    assert lazy._lazy_stats and lazy._df == {}
+    for q in QUERIES:
+        assert lazy.search(q, k=10) == searcher.search(q, k=10), q
+    assert lazy._df.get("zzzz") == 0  # absent terms cached as df=0
+    # repeat query: no growth in resolved map (cache hit)
+    n = len(lazy._df)
+    lazy.search(QUERIES[0], k=10)
+    assert len(lazy._df) == n
+
+
 def test_local_search_latency(served):
     searcher, _ = served
     searcher.search("w000001 w000002", k=10)  # warm
