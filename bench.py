@@ -140,14 +140,15 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
     queries["bm25_serve_p95_ms"] = round(slats[int(len(slats) * 0.95)] * 1000, 2)
     log(f"local serve p50={queries['bm25_serve_p50_ms']}ms p95={queries['bm25_serve_p95_ms']}ms")
 
-    # WAND pruning effectiveness: blocks decoded / blocks in the query lists
-    # (fresh searcher so the hot-list cache doesn't hide decodes; the
-    # interval kernel processes intervals in descending U — the query-time
-    # equivalent of impact ordering — so this ratio is the pruning metric)
+    # WAND pruning effectiveness: blocks decoded / blocks in the query lists.
+    # A FRESH searcher PER QUERY — the hot-list/decode caches otherwise turn
+    # later queries' repeated terms into zero-decode entries and conflate
+    # caching with pruning (the interval kernel processes intervals in
+    # descending U — the query-time equivalent of impact ordering — so this
+    # ratio is the pruning metric, and it must measure pruning alone)
     wstats: dict = {}
-    cold = LocalSearcher(index_root_for(sf_dir))
     for _, qtext in batch[:10]:
-        cold.search(qtext, k=10, stats=wstats)
+        LocalSearcher(index_root_for(sf_dir)).search(qtext, k=10, stats=wstats)
     decode_ratio = (
         wstats.get("decoded_blocks", 0) / wstats["total_blocks"]
         if wstats.get("total_blocks")

@@ -222,77 +222,83 @@ def build_index(
     ).persist()
     has_tf_col = "tf" in tf.columns
 
-    if not have_stats:
-        # doclength ≡ Σtf per doc (token count) — this action also
-        # materializes the occurrence cache
-        if has_tf_col:
-            total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
-        else:
-            total_terms = int(tf.count())
-        avgdl = total_terms / num_docs if num_docs else 0.0
-
-    # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
-    # dlen (docid → doclength + ids) computes ONCE into a small cache;
-    # shard_sizes writes first (the encode needs it for the doclength
-    # broadcast), then the docs write runs on a driver thread so it overlaps
-    # the encode job on the shared executor pool
-    from concurrent.futures import ThreadPoolExecutor
-
-    pool = ThreadPoolExecutor(max_workers=1)
+    # ONE try/finally from the first cache on: a failure anywhere below
+    # must release every cached frame (the rank-internal cache included)
+    # or retried builds in the same session accumulate leaked caches
+    pool = None
     docs_future = None
     dlen = None
-    need_docs = not store.exists("docs")
-    need_ss = not store.exists("shard_sizes")
-    if need_docs or need_ss:
-        # token-less docs (empty/punct-only text) still hold a docid with
-        # doclength 0 — the id map left-joins the per-doc tf sums (both
-        # sides skinny; the id rescan prunes the text column)
-        idmap = ranked.select("docid", *id_keep)
-        _dl_agg = F.sum("tf") if has_tf_col else F.count("*")
-        sums = tf.groupBy("docid").agg(_dl_agg.cast("int").alias("_dl"))
-        dlen = idmap.join(sums, "docid", "left").select(
-            "docid", *id_keep,
-            F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
-        ).persist()
-
-    if need_ss:
-        t0 = time.time()
-        ssz = shard_size
-
-        def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            (shard,) = key
-            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-            dids = pdf["docid"].to_numpy()[order]
-            dls = pdf["doclength"].to_numpy()[order].astype("<u4")
-            start = int(shard) * ssz
-            if not (dids == np.arange(start, start + len(dids))).all():
-                raise ValueError(f"shard {shard}: docids not dense from {start}")
-            return pd.DataFrame(
-                [{"shard": int(shard), "start_docid": start,
-                  "count": len(dids), "dl_bin": dls.tobytes()}]
-            )
-
-        packed = (
-            dlen.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
-            .select("shard", "docid", "doclength")
-            .groupBy("shard")
-            .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
-        )
-        store.write("shard_sizes", packed)
-        pending_lineage.append(("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
-
-    if need_docs:
-        def _write_docs():
-            t0 = time.time()
-            store.write("docs", dlen)  # reads the dlen cache
-            return ("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done")
-
-        docs_future = pool.submit(_write_docs)
-
-    # ---- stage: postings (pgroup-batched, resumable) ------------------------
-    # repartition the skinny cached tf rows by pgroup + in-partition sort →
-    # one Arrow pass per partition block-encodes every (term, shard) group.
     try:
+        if not have_stats:
+            # doclength ≡ Σtf per doc (token count) — this action also
+            # materializes the occurrence cache
+            if has_tf_col:
+                total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
+            else:
+                total_terms = int(tf.count())
+            avgdl = total_terms / num_docs if num_docs else 0.0
+
+        # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
+        # dlen (docid → doclength + ids) computes ONCE into a small cache;
+        # shard_sizes writes first (the encode needs it for the doclength
+        # broadcast), then the docs write runs on a driver thread so it overlaps
+        # the encode job on the shared executor pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        docs_future = None
+        dlen = None
+        need_docs = not store.exists("docs")
+        need_ss = not store.exists("shard_sizes")
+        if need_docs or need_ss:
+            # token-less docs (empty/punct-only text) still hold a docid with
+            # doclength 0 — the id map left-joins the per-doc tf sums (both
+            # sides skinny; the id rescan prunes the text column)
+            idmap = ranked.select("docid", *id_keep)
+            _dl_agg = F.sum("tf") if has_tf_col else F.count("*")
+            sums = tf.groupBy("docid").agg(_dl_agg.cast("int").alias("_dl"))
+            dlen = idmap.join(sums, "docid", "left").select(
+                "docid", *id_keep,
+                F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
+            ).persist()
+
+        if need_ss:
+            t0 = time.time()
+            ssz = shard_size
+
+            def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                (shard,) = key
+                order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+                dids = pdf["docid"].to_numpy()[order]
+                dls = pdf["doclength"].to_numpy()[order].astype("<u4")
+                start = int(shard) * ssz
+                if not (dids == np.arange(start, start + len(dids))).all():
+                    raise ValueError(f"shard {shard}: docids not dense from {start}")
+                return pd.DataFrame(
+                    [{"shard": int(shard), "start_docid": start,
+                      "count": len(dids), "dl_bin": dls.tobytes()}]
+                )
+
+            packed = (
+                dlen.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+                .select("shard", "docid", "doclength")
+                .groupBy("shard")
+                .applyInPandas(pack_shard, schema=SHARD_SIZES_SCHEMA)
+            )
+            store.write("shard_sizes", packed)
+            pending_lineage.append(("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
+
+        if need_docs:
+            def _write_docs():
+                t0 = time.time()
+                store.write("docs", dlen)  # reads the dlen cache
+                return ("docs", -1, None, None, None, int((time.time() - t0) * 1000), "done")
+
+            docs_future = pool.submit(_write_docs)
+
+        # ---- stage: postings (pgroup-batched, resumable) ------------------------
+        # repartition the skinny cached tf rows by pgroup + in-partition sort →
+        # one Arrow pass per partition block-encodes every (term, shard) group.
         if todo:
             _clean_partial_pgroups(store, todo)
             block_size = cfg.block_size
@@ -417,11 +423,12 @@ def build_index(
                 pending_lineage.append(docs_future.result())
             except Exception:
                 pass  # surfaces via the missing docs table downstream
-        pool.shutdown()
+        if pool is not None:
+            pool.shutdown()
         if dlen is not None:
             dlen.unpersist()
         tf.unpersist()
-
+        release_rank_cache(ranked)
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):
         t0 = time.time()
@@ -458,7 +465,6 @@ def build_index(
 
     if pending_lineage:
         _lineage_rows(store, spark, pending_lineage)
-    release_rank_cache(ranked)
     return store
 
 

@@ -170,14 +170,20 @@ def _bm25_fresh(query: str, base_frac: float = 0.8):
 
         from ciff_spark.serve import FreshSearcher
         from ciff_spark.store import IndexStore
-        from ciff_spark.streaming.incremental import append_batch
+        from ciff_spark.streaming.incremental import (
+            _committed_segment_ids,
+            append_batch,
+        )
 
         docs = load(spark, sf_dir, "documents")
         n = docs.count()
         cut = int(n * base_frac)
         root = index_root_for(sf_dir) + "_fresh"
         store = IndexStore(root)
-        if not store.exists("meta"):
+        # the reuse point is base AND committed segment: a crash between the
+        # two must rebuild, not serve a base-only index forever
+        if not (store.exists("meta") and _committed_segment_ids(store)):
+            store.drop()
             build_index(
                 docs.where(F.col("doc_id") < cut), root,
                 id_cols=("doc_id",), docid_col="doc_id",

@@ -31,10 +31,13 @@ from ciff_spark.wand import wand_topk
 
 class LocalSearcher:
     # hot posting lists stay resident across queries (query logs are Zipf):
-    # raw blocks AND their decoded arrays cache per term, LRU-bounded. The
-    # analog of PISA serving from an mmap'd index with the page cache warm —
-    # here the decode work is cached too, which mmap alone doesn't give.
+    # raw blocks AND their decoded arrays cache per term, LRU-bounded BY
+    # BYTES (count alone is unbounded memory when hot terms carry millions
+    # of postings — each entry holds raw bins plus int64 decoded arrays).
+    # The analog of PISA serving from an mmap'd index with the page cache
+    # warm — here the decode work is cached too, which mmap alone can't give.
     CACHE_TERMS = 65536
+    CACHE_BYTES = 1 << 30  # 1 GiB of raw bins + decoded-array estimate
 
     def __init__(self, index_root: str) -> None:
         self.root = index_root.rstrip("/")
@@ -85,8 +88,10 @@ class LocalSearcher:
         self._all_ds = None
         from collections import OrderedDict
 
-        # term → ((blocks, prevs), decode_cache) — LRU over CACHE_TERMS
+        # term → (blocks, prevs, decode_cache) — LRU over CACHE_TERMS/_BYTES
         self._hot: OrderedDict[str, tuple] = OrderedDict()
+        self._hot_bytes: dict[str, int] = {}
+        self._hot_total = 0
 
     #: above this vocabulary size, term stats resolve lazily per query
     EAGER_STATS_MAX_TERMS = 2_000_000
@@ -190,8 +195,21 @@ class LocalSearcher:
             for t in missing:
                 if t in out:
                     self._hot[t] = out[t]
-            while len(self._hot) > self.CACHE_TERMS:
-                self._hot.popitem(last=False)
+                    # entry footprint: raw bins + the decoded int64 arrays the
+                    # cache will hold once filled (16 B per posting), charged
+                    # up front so eviction never lags the lazy decode
+                    sz = sum(
+                        len(b["docs_bin"]) + len(b["tfs_bin"]) + 16 * int(b["count"])
+                        for b in out[t][0]
+                    )
+                    self._hot_bytes[t] = sz
+                    self._hot_total += sz
+            while self._hot and (
+                len(self._hot) > self.CACHE_TERMS
+                or self._hot_total > self.CACHE_BYTES
+            ):
+                old_t, _ = self._hot.popitem(last=False)
+                self._hot_total -= self._hot_bytes.pop(old_t, 0)
         return out
 
     def search(
@@ -238,18 +256,13 @@ class FreshSearcher(LocalSearcher):
         from ciff_spark.functions.codec import decode_postings
 
         self._decode = decode_postings
-        # COMMITTED segments only: append_batch writes seg_postings first and
-        # seg_docs LAST, with the docs dir's _SUCCESS as the commit marker. A
-        # crash between the two leaves a torn segment — postings rows whose
-        # docids have no doclength; a blind glob would KeyError the scorer
-        # and skew fresh collection stats until the batch retries.
-        import os as _os
+        # COMMITTED segments only (store.committed_segment_ids is the single
+        # source of truth for the commit protocol): a torn segment — postings
+        # written, docs/_SUCCESS not — would KeyError the scorer and skew
+        # fresh collection stats until the batch retries.
+        from ciff_spark.store import committed_segment_ids
 
-        committed = sorted(
-            _os.path.basename(d).removeprefix("seg_")
-            for d in _glob.glob(f"{self.root}/seg_docs/seg_*")
-            if _os.path.exists(f"{d}/_SUCCESS")
-        )
+        committed = committed_segment_ids(self.root)
         seg_doc_files = [
             f
             for s in committed
@@ -293,9 +306,16 @@ class FreshSearcher(LocalSearcher):
         self.fresh_avgdl = self.fresh_total / self.fresh_num_docs if self.fresh_num_docs else 0.0
 
     def search(
-        self, query: str, k: int = 10, round_decimals: int | None = None
+        self,
+        query: str,
+        k: int = 10,
+        stats: dict | None = None,
+        round_decimals: int | None = None,
     ) -> list[tuple[int, float]]:
-        """``round_decimals``: rank on rounded scores (docid tiebreak) — the
+        """``stats`` (same position/meaning as LocalSearcher.search —
+        substitutability): decode counters; exhaustive scoring decodes every
+        block of the query lists, so decoded == total here.
+        ``round_decimals``: rank on rounded scores (docid tiebreak) — the
         driver/oracle ordering contract; sound here because scoring is
         exhaustive (no pruning threshold to guard)."""
         from ciff_spark.functions.scoring import tfnorm_np
@@ -326,6 +346,8 @@ class FreshSearcher(LocalSearcher):
             idf = float(idf_np(df, self.fresh_num_docs))
             if t in base_lists:
                 blocks, prevs, bcache = base_lists[t]
+                if stats is not None:
+                    stats["total_blocks"] = stats.get("total_blocks", 0) + len(blocks)
                 parts_d, parts_tf = [], []
                 for j, (blk, prev) in enumerate(zip(blocks, prevs)):
                     from ciff_spark.functions.codec import decode_block
@@ -335,6 +357,8 @@ class FreshSearcher(LocalSearcher):
                         got = bcache[j] = decode_block(
                             blk["docs_bin"], blk["tfs_bin"], blk["count"], prev
                         )
+                        if stats is not None:
+                            stats["decoded_blocks"] = stats.get("decoded_blocks", 0) + 1
                     d, tf = got
                     parts_d.append(d)
                     parts_tf.append(tf)

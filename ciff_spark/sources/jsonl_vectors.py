@@ -121,6 +121,21 @@ def build_index_from_doc_vectors(
     ids = raw.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
     ranked_ids = add_dense_docid(ids, ["first_pos", "ext_id"])
     idmap = ranked_ids.drop("first_pos")
+    try:
+        return _build_from_idmap(
+            spark, store, raw, idmap, jsonl_path, quantize, doclength_mode,
+            n_shards, n_pgroups, block_size,
+        )
+    finally:
+        # release on EVERY path — a failed ingest must not leak the rank's
+        # internal cache for the session lifetime
+        release_rank_cache(ranked_ids)
+
+
+def _build_from_idmap(
+    spark, store, raw, idmap, jsonl_path, quantize, doclength_mode,
+    n_shards, n_pgroups, block_size,
+):
 
     rows = quantize_scores(raw, quantize)
 
@@ -205,5 +220,4 @@ def build_index_from_doc_vectors(
             META_SCHEMA,
         ),
     )
-    release_rank_cache(ranked_ids)
     return store

@@ -38,6 +38,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("docs", "postings", "term_stats", "shard_sizes", "meta", "_lineage")
 
+
+def committed_segment_ids(root: str) -> list[int]:
+    """Streaming-segment COMMIT PROTOCOL, single source of truth (used by
+    the streaming writer, compaction, and the serving readers): a segment
+    ``<id>`` is committed iff ``seg_docs/seg_<id>/_SUCCESS`` exists —
+    ``append_batch`` writes seg_postings first and seg_docs LAST, so the
+    docs marker is the commit point; anything else is a torn segment that
+    readers must not see."""
+    import glob
+
+    out = []
+    for d in glob.glob(f"{root.rstrip('/')}/seg_docs/seg_*"):
+        if os.path.exists(f"{d}/_SUCCESS"):
+            out.append(int(os.path.basename(d).removeprefix("seg_")))
+    return sorted(out)
+
 META_SCHEMA = (
     "num_docs bigint, num_terms bigint, total_terms bigint, avgdl double, "
     "shard_size bigint, block_size int, description string, "

@@ -79,19 +79,16 @@ def read_segments(spark: SparkSession, store: IndexStore, table: str) -> DataFra
     return spark.read.parquet(*dirs)
 
 
-def _committed_segment_dirs(store: IndexStore) -> list[str]:
-    return sorted(
-        d
-        for d in _glob.glob(f"{store.path(SEG_DOCS)}/seg_*")
-        if os.path.exists(f"{d}/_SUCCESS")
-    )
-
-
 def _committed_segment_ids(store: IndexStore) -> list[int]:
-    return sorted(
-        int(os.path.basename(d).removeprefix("seg_"))
-        for d in _committed_segment_dirs(store)
-    )
+    from ciff_spark.store import committed_segment_ids
+
+    return committed_segment_ids(store.root)
+
+
+def _committed_segment_dirs(store: IndexStore) -> list[str]:
+    return [
+        f"{store.path(SEG_DOCS)}/seg_{i}" for i in _committed_segment_ids(store)
+    ]
 
 
 def _next_docid(store: IndexStore) -> int:
@@ -295,12 +292,17 @@ def _fold_segments(
     block_size = int(meta["block_size"])
     bounds_avgdl = float(meta.get("bounds_avgdl") or old_avgdl)
     n_pgroups = meta.get("n_pgroups")
-    if n_pgroups is None:  # legacy index: recover the modulus from the layout
-        gs = [
-            int(p.rsplit("pgroup=", 1)[1])
-            for p in glob.glob(store.path("postings") + "/pgroup=*")
-        ]
-        n_pgroups = (max(gs) + 1) if gs else 1
+    if n_pgroups is None:
+        # legacy index (meta predates n_pgroups): the modulus CANNOT be
+        # recovered from the dir layout — empty pgroups write no dir, so
+        # max(dir)+1 can undercount and silently route appended rows (and
+        # the rewritten term_stats) to the wrong pgroup for every term.
+        # Fail loud; the rebuild path re-establishes the modulus.
+        raise ValueError(
+            "index meta has no n_pgroups (built before compaction support) — "
+            "concat compaction cannot route appended postings; use "
+            "compact_segments(rebuild_from=...) once to refresh the index"
+        )
     n_pgroups = int(n_pgroups)
 
     seg_docs = read_segments(spark, store, SEG_DOCS).persist()
