@@ -163,13 +163,24 @@ class LocalSearcher:
             pgroups = (
                 {self._pg[t] for t in missing} if self._pg is not None else None
             )
-            tbl = pa.concat_tables(
-                d.to_table(
+            datasets = self._dataset_for(pgroups)
+
+            def _scan(d):
+                return d.to_table(
                     columns=["term", "shard", "blocks"],
                     filter=pc.field("term").isin(missing),
                 )
-                for d in self._dataset_for(pgroups)
-            )
+
+            if len(datasets) > 1:
+                # pyarrow scans release the GIL — fan the ≤|q| pgroup reads
+                # out over threads; first-touch latency (the serving p95) is
+                # dominated by these sequential file opens otherwise
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(8, len(datasets))) as ex:
+                    tbl = pa.concat_tables(ex.map(_scan, datasets))
+            else:
+                tbl = _scan(datasets[0])
             # (term, shard, first-block max_docid): compaction can append a
             # second row for an existing (term, shard) — rows of one term
             # must concatenate in ascending docid order for the block
