@@ -482,6 +482,63 @@ simsearch / quality / sessionization / relational operator families.
     }))
 
 
+def run_scaling_concurrent(n_convs: int, pair: tuple[int, int] = (1, 4), repeats: int = 2) -> None:
+    """Complementary protocol: the N-core and 4N-core legs run AT THE SAME
+    TIME on disjoint pinned core sets, so both see the IDENTICAL co-tenant
+    window by construction — the serialized-pair protocol's weakness is a
+    window that flips between legs. Disclosed bias: the two legs also see
+    each other's memory traffic, and the 4N job emits ~4× the 1-core job's,
+    so the lo leg is depressed more than the hi leg — this protocol
+    UPPER-bounds the efficiency, the serialized pairs bound it noisily from
+    below; together they bracket it."""
+    import threading
+
+    lo, hi = pair
+    stage = subprocess.run(
+        [sys.executable, __file__, "--stage-only", "--convs", str(n_convs)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if stage.returncode != 0:
+        log(stage.stderr[-2000:])
+        raise SystemExit("staging failed")
+
+    def leg(cores: int, cpu_list: str, out: dict) -> None:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        r = subprocess.run(
+            ["taskset", "-c", cpu_list, sys.executable, __file__,
+             "--build-only", "--convs", str(n_convs)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if r.returncode != 0:
+            log(r.stderr[-3000:])
+            raise SystemExit(f"concurrent leg at {cores} cores failed")
+        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # Disjoint pinned core sets derived from the pair: lo leg on cores
+    # [0, lo), hi leg on [lo, lo+hi) — e.g. pair (1,4) -> "0" and "1-4".
+    lo_cpus = "0" if lo == 1 else f"0-{lo - 1}"
+    hi_cpus = str(lo) if hi == 1 else f"{lo}-{lo + hi - 1}"
+    effs = []
+    for rep in range(repeats):
+        res: dict = {}
+        t_lo = threading.Thread(target=leg, args=(lo, lo_cpus, res))
+        t_hi = threading.Thread(target=leg, args=(hi, hi_cpus, res))
+        t_lo.start(); t_hi.start()
+        t_lo.join(); t_hi.join()
+        eff = (res[hi]["turns_per_sec"] / res[lo]["turns_per_sec"]) / (hi / lo)
+        effs.append(eff)
+        log(
+            f"concurrent pair {rep + 1}/{repeats}: lo {res[lo]['build_sec']:.1f}s "
+            f"({res[lo]['turns_per_sec']:.0f}/s), hi {res[hi]['build_sec']:.1f}s "
+            f"({res[hi]['turns_per_sec']:.0f}/s) -> efficiency {eff:.3f}"
+        )
+    print(json.dumps({
+        "protocol": "concurrent same-window legs (upper bound; bias disclosed)",
+        "concurrent_efficiency_runs": [round(e, 3) for e in effs],
+    }))
+
+
 def run_build_only(n_convs: int) -> None:
     from ciff_spark import get_spark
 
@@ -557,6 +614,10 @@ def run_vocab_experiment(n_convs: int, vocab_size: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--scaling-concurrent", action="store_true",
+        help="same-window protocol: both legs run simultaneously on disjoint pinned cores",
+    )
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--stage-only", action="store_true")
     ap.add_argument("--vocab-exp", type=int, default=0, help="run the vocabulary-scale experiment with this vocab size")
@@ -576,6 +637,10 @@ def main() -> None:
         return
     if args.build_only:
         run_build_only(args.convs)
+        return
+    if args.scaling_concurrent:
+        lo, hi = (int(x) for x in args.pair.split(","))
+        run_scaling_concurrent(args.convs, (lo, hi), repeats=args.repeats)
         return
     if args.scaling:
         lo, hi = (int(x) for x in args.pair.split(","))
