@@ -27,6 +27,7 @@ def _all_modules():
     from ciff_spark.operators import (  # noqa: PLC0415
         dedup,
         events,
+        impact_queries,
         index_queries,
         multimodal_ops,
         quantize,
@@ -36,8 +37,8 @@ def _all_modules():
     )
 
     return (
-        index_queries, dedup, textquality, simsearch, events, relational,
-        quantize, multimodal_ops,
+        index_queries, impact_queries, dedup, textquality, simsearch, events,
+        relational, quantize, multimodal_ops,
     )
 
 

@@ -376,6 +376,107 @@ SELECT d1, d2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over verified LSH pair edges
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 50
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docid, cluster) for EVERY document: cluster = min docid reachable
+    through the verified MinHash-LSH near-duplicate edges (singletons are
+    their own cluster) — the keep-one-representative step of a dedup
+    pipeline.
+
+    Distributed min-label propagation: label(v) ← min(label(v), min over
+    neighbors' labels), iterated to fixpoint. Each round is one equi-join +
+    map-side-combinable min aggregation; rounds needed = eccentricity of the
+    component minimum ≤ component diameter. Near-dup components are shallow
+    in practice (near-cliques around a source doc); for adversarially long
+    chains at 100 TB the O(log n)-round alternating large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    drops in without changing the fixpoint. ``localCheckpoint`` truncates
+    the iterative plan lineage each round — the standard guard against
+    optimizer blowup in looped joins.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid")
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    return connected_components(docs, pairs)
+
+
+def connected_components(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation over undirected ``pairs`` edges; every docid in
+    ``docs`` gets cluster = min docid of its component (see
+    :func:`dedup_clusters` for the algorithm and scale notes)."""
+    edges = (
+        pairs.selectExpr("d1 AS src", "d2 AS dst")
+        .unionAll(pairs.selectExpr("d2 AS src", "d1 AS dst"))
+        .cache()
+    )
+    labels = docs.select("docid", F.col("docid").alias("cluster"))
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("docid").alias("dst"), F.col("cluster").alias("ncl")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("ncl").alias("nbr_min"))
+                .withColumnRenamed("src", "docid")
+            )
+            new = (
+                labels.join(nbr, "docid", "left")
+                .select(
+                    "docid",
+                    F.least(
+                        F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                    ).alias("cluster"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.select("docid", F.col("cluster").alias("nc"))
+                .join(labels, "docid")
+                .where(F.col("nc") != F.col("cluster"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    finally:
+        edges.unpersist()
+
+
+# Oracle: same edge set (the pairs SQL verbatim), min reachable id per node
+# via a recursive CTE (UNION dedups, so the iteration terminates).
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({DEDUP_LSH_SQL}) p),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS docid, min(b) AS cluster FROM reach GROUP BY a
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
@@ -383,4 +484,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh_pairs": (dedup_minhash_lsh_pairs, DEDUP_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }

@@ -165,10 +165,12 @@ class IndexReader:
             return qpdf, []
         return qpdf, sorted(qpdf["term"].unique().tolist())
 
-    def _idf_map(self, terms: list[str]) -> dict[str, float]:
-        """Per-term idf from ``term_stats`` — driver-side pyarrow read with a
-        term-IN predicate (row-group pruning on the sorted column), the same
-        access path LocalSearcher uses. |q| rows come back; no Spark job."""
+    def _idf_map(self, terms: list[str], scoring: str = "bm25") -> dict[str, float]:
+        """Per-term weight from ``term_stats`` — driver-side pyarrow read with
+        a term-IN predicate (row-group pruning on the sorted column), the same
+        access path LocalSearcher uses. |q| rows come back; no Spark job.
+        BM25 weight = idf(df, N); impact weight = 1.0 (the stored tf IS the
+        quantized impact; the read still filters to terms the index knows)."""
         if not terms:
             return {}
         import glob
@@ -180,6 +182,8 @@ class IndexReader:
         tbl = ds.dataset(
             glob.glob(self.store.path("term_stats") + "/*.parquet"), format="parquet"
         ).to_table(columns=["term", "df"], filter=pc.field("term").isin(terms))
+        if scoring == "impact":
+            return dict.fromkeys(tbl["term"].to_pylist(), 1.0)
         return {
             t: float(idf_np(int(d), n))
             for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
@@ -194,8 +198,15 @@ class IndexReader:
         mode: str = "wand",
         round_scores: bool = False,
         shared_theta: bool = False,
+        scoring: str = "bm25",
     ) -> DataFrame:
         """Top-k per query. Returns DataFrame(qid int, docid long, score double).
+
+        ``scoring="impact"`` sums stored tf values as quantized impacts
+        (term weight 1.0, doclengths unused) — the reference's learned-sparse
+        model where PISA's quantized scorer ranks on Σ impact
+        (/root/reference/src/lib.rs:87-148). Both ``exact`` and ``wand``
+        modes support it; WAND bounds come from per-block ``max_tf``.
 
         ``round_scores=True`` ranks on scores rounded to ``SCORE_DECIMALS``
         INSIDE the kernels (heap, pruning threshold, final window) — the
@@ -210,7 +221,7 @@ class IndexReader:
         qpdf, terms = self._query_frame(queries)
         if not terms:
             return self.spark.createDataFrame([], "qid int, docid bigint, score double")
-        idf = self._idf_map(terms)
+        idf = self._idf_map(terms, scoring)
         qpdf = qpdf[qpdf["term"].isin(idf)].copy()
         qpdf["idf"] = qpdf["term"].map(idf)
         if qpdf.empty:
@@ -232,13 +243,13 @@ class IndexReader:
         self._bound_scale = max(1.0, avgdl / _ba)
 
         if mode == "exact":
-            out = self._exact(pq, sizes, avgdl, k, rd)
+            out = self._exact(pq, sizes, avgdl, k, rd, scoring=scoring)
         elif mode == "wand":
             if shared_theta:
                 seed_pdf = self._wand(
                     pq.where(F.col("shard") == 0),
                     sizes.where(F.col("shard") == 0),
-                    avgdl, k, rd,
+                    avgdl, k, rd, scoring=scoring,
                 ).toPandas()
                 # a query's seed is sound only if shard 0 actually yielded a
                 # FULL k (k attained scores >= its k-th) — else no floor
@@ -250,14 +261,14 @@ class IndexReader:
                 rest = self._wand(
                     pq.where(F.col("shard") != 0),
                     sizes.where(F.col("shard") != 0),
-                    avgdl, k, rd, theta0,
+                    avgdl, k, rd, theta0, scoring=scoring,
                 )
                 seed_df = self.spark.createDataFrame(
                     seed_pdf, "qid int, docid bigint, score double"
                 )
                 out = self._global_topk(seed_df.unionAll(rest), k)
             else:
-                out = self._wand(pq, sizes, avgdl, k, rd)
+                out = self._wand(pq, sizes, avgdl, k, rd, scoring=scoring)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return out
@@ -274,8 +285,10 @@ class IndexReader:
 
     def _exact(
         self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int,
-        round_decimals: int | None = None,
+        round_decimals: int | None = None, scoring: str = "bm25",
     ) -> DataFrame:
+        impact = scoring == "impact"
+
         def score_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
             if postings_pdf.empty:
                 return pd.DataFrame({"qid": [], "docid": [], "contrib": []})
@@ -297,7 +310,10 @@ class IndexReader:
                     prev = int(blk["max_docid"])
                 d = np.concatenate(d_parts)
                 tf = np.concatenate(t_parts)
-                c = row.idf * tfnorm_np(tf, dl[d - start], avgdl)
+                if impact:  # tf IS the quantized impact; dl unused
+                    c = row.idf * tf.astype(np.float64)
+                else:
+                    c = row.idf * tfnorm_np(tf, dl[d - start], avgdl)
                 qids.append(np.full(len(d), row.qid, np.int64))
                 docids.append(d)
                 contribs.append(c)
@@ -329,11 +345,14 @@ class IndexReader:
         self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int,
         round_decimals: int | None = None,
         theta0: dict[int, float] | None = None,
+        scoring: str = "bm25",
     ) -> DataFrame:
         kk = int(k)
         avg = float(avgdl)
         rd = round_decimals
-        bscale = float(getattr(self, "_bound_scale", 1.0))
+        sc = scoring
+        # impact bounds (max_tf) are avgdl-independent — no drift inflation
+        bscale = 1.0 if sc == "impact" else float(getattr(self, "_bound_scale", 1.0))
 
         def wand_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
             if postings_pdf.empty:
@@ -350,7 +369,10 @@ class IndexReader:
                     (float(r.idf), list(r.blocks)) for r in qg.itertuples(index=False)
                 ]
                 seed = theta0.get(int(qid)) if theta0 else None
-                d, s = wand_topk(lists, dl, start, avg, kk, rd, seed, bound_scale=bscale)
+                d, s = wand_topk(
+                    lists, dl, start, avg, kk, rd, seed,
+                    bound_scale=bscale, scoring=sc,
+                )
                 frames.append(pd.DataFrame({"qid": int(qid), "docid": d, "score": s}))
             return pd.concat(frames, ignore_index=True)
 

@@ -104,10 +104,32 @@ def build_index_from_doc_vectors(
     n_pgroups: int = 16,
     block_size: int = 128,
 ) -> IndexStore:
+    return build_index_from_vector_rows(
+        spark, read_doc_vectors(spark, jsonl_path), out_root,
+        quantize=quantize, doclength_mode=doclength_mode, n_shards=n_shards,
+        n_pgroups=n_pgroups, block_size=block_size,
+        source_desc=f"jsonl doc-vector ingest of {jsonl_path}",
+    )
+
+
+def build_index_from_vector_rows(
+    spark: SparkSession,
+    raw: DataFrame,
+    out_root: str,
+    quantize: bool = False,
+    doclength_mode: str = "unique_terms",
+    n_shards: int = 8,
+    n_pgroups: int = 16,
+    block_size: int = 128,
+    source_desc: str = "doc-vector rows",
+) -> IndexStore:
+    """Build an (optionally quantized) impact-style index from any
+    ``(ext_id, pos, term, score)`` DataFrame — the jsonl reader's row shape,
+    decoupled from the jsonl source so learned-sparse vectors produced
+    in-pipeline (e.g. tf·idf expansions of a corpus table) index through the
+    same reference-parity path (quantizer, tf>0 drop, first-seen docids)."""
     store = IndexStore(out_root)
     store.drop()
-
-    raw = read_doc_vectors(spark, jsonl_path)
 
     # first-seen dense docid: rank external ids by min(pos), over the RAW
     # rows — a doc whose every score is dropped still occupies a docid with
@@ -123,7 +145,7 @@ def build_index_from_doc_vectors(
     idmap = ranked_ids.drop("first_pos")
     try:
         return _build_from_idmap(
-            spark, store, raw, idmap, jsonl_path, quantize, doclength_mode,
+            spark, store, raw, idmap, source_desc, quantize, doclength_mode,
             n_shards, n_pgroups, block_size,
         )
     finally:
@@ -133,7 +155,7 @@ def build_index_from_doc_vectors(
 
 
 def _build_from_idmap(
-    spark, store, raw, idmap, jsonl_path, quantize, doclength_mode,
+    spark, store, raw, idmap, source_desc, quantize, doclength_mode,
     n_shards, n_pgroups, block_size,
 ):
 
@@ -215,7 +237,7 @@ def _build_from_idmap(
         "meta",
         spark.createDataFrame(
             [(num_docs, num_terms, total_terms, avgdl, shard_size, block_size,
-              f"jsonl doc-vector ingest of {jsonl_path} (quantize={quantize}, doclength={doclength_mode})",
+              f"{source_desc} (quantize={quantize}, doclength={doclength_mode})",
               avgdl, n_pgroups)],
             META_SCHEMA,
         ),

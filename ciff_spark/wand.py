@@ -48,6 +48,7 @@ def wand_topk(
     decode_caches: list[dict] | None = None,
     bound_scale: float = 1.0,
     stats: dict | None = None,
+    scoring: str = "bm25",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -92,9 +93,19 @@ def wand_topk(
     kernel — intervals already process in descending U, the query-time
     equivalent, and blocks must stay docid-ascending on disk for the lo/hi
     geometry — so decode count IS the pruning metric to watch.
+
+    ``scoring``: ``"bm25"`` (default) scores idf · tfnorm(tf, dl, avgdl) with
+    block bound idf · max_tfnorm. ``"impact"`` treats tf AS the quantized
+    impact (the reference's learned-sparse/jsonl2ciff model, where PISA's
+    quantized scorer sums stored impacts — /root/reference/src/lib.rs:87-148):
+    contribution = weight · tf, block bound = weight · max_tf, doclengths
+    unused. Both modes share the identical interval/pruning machinery.
     """
     if not lists or k <= 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    impact = scoring == "impact"
+    if not impact and scoring != "bm25":
+        raise ValueError(f"unknown scoring {scoring!r}")
     eps = 0.5 * 10.0 ** (-round_decimals) if round_decimals is not None else 0.0
     theta_floor = -np.inf if initial_theta is None else float(initial_theta)
 
@@ -106,7 +117,10 @@ def wand_topk(
         lo = np.empty_like(hi)
         lo[0] = 0
         lo[1:] = hi[:-1] + 1
-        mtf = np.array([b["max_tfnorm"] for b in blocks], np.float64)
+        mtf = np.array(
+            [b["max_tf"] if impact else b["max_tfnorm"] for b in blocks],
+            np.float64,
+        )
         los.append(lo)
         his.append(hi)
         bounds.append(np.maximum(idf * mtf, 0.0) * float(bound_scale))
@@ -159,7 +173,10 @@ def wand_topk(
             if a == b:
                 continue
             dd = d[a:b]
-            contrib = idf * tfnorm_np(tf[a:b], dl[dd - start_docid], avgdl)
+            if impact:
+                contrib = idf * tf[a:b].astype(np.float64)
+            else:
+                contrib = idf * tfnorm_np(tf[a:b], dl[dd - start_docid], avgdl)
             acc_docids.append(dd)
             acc_contrib.append(contrib)
         if not acc_docids:

@@ -1,0 +1,91 @@
+"""Unit tests for the quantized-impact retrieval path (scoring="impact") and
+the connected-components dedup clustering."""
+
+import numpy as np
+import pandas as pd
+
+from ciff_spark.operators.dedup import connected_components
+from ciff_spark.query import IndexReader
+from ciff_spark.sources.jsonl_vectors import build_index_from_vector_rows
+
+
+def _half_up(x):
+    # Spark F.round / DuckDB round() are HALF_UP for positives; np.round is
+    # banker's — pin the test brute force to the engines' mode
+    return np.floor(x + 0.5)
+
+
+def test_impact_wand_equals_exact_and_bruteforce(spark, tmp_path):
+    rng = np.random.RandomState(7)
+    n_docs, terms = 60, [f"t{i:02d}" for i in range(15)]
+    rows = []
+    for d in range(n_docs):
+        for t in terms:
+            if rng.rand() < 0.4:
+                rows.append((str(d), d, t, float(rng.rand() * 10)))
+    pdf = pd.DataFrame(rows, columns=["ext_id", "pos", "term", "score"])
+    raw = spark.createDataFrame(pdf)
+    root = str(tmp_path / "imp")
+    build_index_from_vector_rows(
+        spark, raw, root, quantize=True, n_shards=4, n_pgroups=4, block_size=8
+    )
+
+    # numpy oracle: reference quantizer over positive scores, Σ impact top-k
+    pos = pdf[pdf["score"] > 0]["score"]
+    lo, hi = float(pos.min()), float(pos.max())
+    pdf = pdf.assign(
+        tfq=np.clip(_half_up((pdf["score"] - lo) / (hi - lo) * 254) + 1, 1, 255)
+    )
+    qterms = ["t01", "t05", "t09"]
+    want = (
+        pdf[pdf["term"].isin(qterms)]
+        .groupby("pos")["tfq"].sum()
+        .reset_index()
+        .sort_values(["tfq", "pos"], ascending=[False, True], kind="mergesort")
+        .head(5)
+    )
+    want_pairs = list(zip(want["pos"].astype(int), want["tfq"].astype(int)))
+
+    reader = IndexReader(spark, root)
+    for mode in ("wand", "exact"):
+        got = (
+            reader.topk([(0, " ".join(qterms))], k=5, mode=mode, scoring="impact")
+            .toPandas()
+            .sort_values(["score", "docid"], ascending=[False, True], kind="mergesort")
+        )
+        got_pairs = list(zip(got["docid"].astype(int), got["score"].astype(int)))
+        # ext_id "d" was ranked by pos=d, so docid == d
+        assert got_pairs == want_pairs, f"impact {mode} mismatch"
+
+
+def test_impact_unknown_query_terms_empty(spark, tmp_path):
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 0, "x", 3.0), ("b", 1, "y", 1.0)],
+            columns=["ext_id", "pos", "term", "score"],
+        )
+    )
+    root = str(tmp_path / "imp2")
+    build_index_from_vector_rows(spark, raw, root, quantize=True, n_shards=2, n_pgroups=2)
+    out = IndexReader(spark, root).topk([(0, "zzz")], k=3, scoring="impact")
+    assert out.count() == 0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "docid long")
+    # a 4-chain (needs multiple propagation rounds), a pair, two singletons
+    pairs = spark.createDataFrame(
+        [(3, 2), (2, 1), (1, 0), (5, 6)], "d1 long, d2 long"
+    )
+    out = connected_components(docs, pairs).toPandas()
+    got = dict(zip(out["docid"].astype(int), out["cluster"].astype(int)))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_no_edges(spark):
+    docs = spark.createDataFrame([(i,) for i in range(3)], "docid long")
+    pairs = spark.createDataFrame([], "d1 long, d2 long")
+    out = connected_components(docs, pairs).toPandas()
+    assert dict(zip(out["docid"].astype(int), out["cluster"].astype(int))) == {
+        0: 0, 1: 1, 2: 2,
+    }
