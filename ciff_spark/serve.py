@@ -224,25 +224,31 @@ class LocalSearcher:
         return out
 
     def search(
-        self, query: str, k: int = 10, stats: dict | None = None
+        self, query: str, k: int = 10, stats: dict | None = None,
+        scoring: str = "bm25",
     ) -> list[tuple[int, float]]:
         """BM25 top-k: [(docid, score)] — identical semantics to the
         distributed readers (WAND over per-term blocks; shards of a term
         concatenate in shard order so their blocks form one valid list).
-        ``stats``: optional dict accumulating wand_topk's decode counters."""
+        ``stats``: optional dict accumulating wand_topk's decode counters.
+        ``scoring="impact"`` serves quantized impact indexes (Σ stored tf,
+        term weight 1.0, max_tf block bounds) — PISA's quantized scorer over
+        the same artifact the distributed impact reader queries."""
         terms = sorted(set(tokenize_py(query)))
         lists_by_term = self._fetch_lists(terms)
         if not lists_by_term:
             return []
+        impact = scoring == "impact"
         lists, caches = [], []
         for t, (blocks, prevs, cache) in lists_by_term.items():
-            lists.append(
-                (float(idf_np(self._df[t], self.num_docs)), blocks, np.asarray(prevs, np.int64))
-            )
+            w = 1.0 if impact else float(idf_np(self._df[t], self.num_docs))
+            lists.append((w, blocks, np.asarray(prevs, np.int64)))
             caches.append(cache)
         d, s = wand_topk(
             lists, self.dl, 0, self.avgdl, k,
-            decode_caches=caches, bound_scale=self.bound_scale, stats=stats,
+            decode_caches=caches,
+            bound_scale=1.0 if impact else self.bound_scale,
+            stats=stats, scoring=scoring,
         )
         return list(zip(d.tolist(), s.tolist()))
 

@@ -3,6 +3,7 @@ the connected-components dedup clustering."""
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ciff_spark.operators.dedup import connected_components
 from ciff_spark.query import IndexReader
@@ -89,3 +90,34 @@ def test_connected_components_no_edges(spark):
     assert dict(zip(out["docid"].astype(int), out["cluster"].astype(int))) == {
         0: 0, 1: 1, 2: 2,
     }
+
+
+def test_impact_local_searcher_matches_reader(spark, tmp_path):
+    rng = np.random.RandomState(11)
+    rows = [
+        (str(d), d, f"w{t}", float(rng.rand() * 5 + 0.1))
+        for d in range(30)
+        for t in range(8)
+        if rng.rand() < 0.5
+    ]
+    raw = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ext_id", "pos", "term", "score"])
+    )
+    root = str(tmp_path / "imp3")
+    build_index_from_vector_rows(
+        spark, raw, root, quantize=True, n_shards=3, n_pgroups=2, block_size=4
+    )
+    reader = IndexReader(spark, root)
+    want = [
+        (int(r["docid"]), int(r["score"]))
+        for r in reader.topk([(0, "w1 w4 w6")], k=7, scoring="impact")
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .collect()
+    ]
+    from ciff_spark.serve import LocalSearcher
+
+    got = [
+        (d, int(s))
+        for d, s in LocalSearcher(root).search("w1 w4 w6", k=7, scoring="impact")
+    ]
+    assert got == want and len(got) == 7
