@@ -11,8 +11,8 @@ All progress chatter goes to stderr.
 ``--scaling`` mode: runs the transcript index build at N and 4N pinned cores
 (fresh JVM each, same deterministic staged input, interleaved repeated
 pairs) — the sandbox stand-in for the north-rule's N vs 4N executor
-criterion — and writes BENCH/BASELINE.md with throughput at both sizes and
-EVERY pair's scaling efficiency.
+criterion — and writes BENCH/SCALING_RUN.md with throughput at both sizes
+and EVERY pair's scaling efficiency (BENCH/BASELINE.md is hand-curated).
 """
 
 from __future__ import annotations
@@ -348,7 +348,7 @@ def run_scaling(n_convs: int, pair: tuple[int, int] = (1, 4), repeats: int = 2) 
         for i, r in enumerate(runs)
     )
     n_pass = sum(1 for r in runs if r["eff"] >= 0.8 or r["vs_ceiling"] >= 0.95)
-    md = f"""# BENCH/BASELINE.md — measured numbers (round 3)
+    md = f"""# BENCH/SCALING_RUN.md — last `--scaling` run (autogenerated; curated synthesis lives in BENCH/BASELINE.md)
 
 ## Scaling evidence (north_rule: efficiency ≥ 0.8 from N to 4N executors)
 
@@ -470,7 +470,11 @@ WAND p50 ≈ 0.6-0.7 s; batched 20-query WAND ≈ 1.4 s; walls for the dedup /
 simsearch / quality / sessionization / relational operator families.
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # Write the generated report to its own file: BENCH/BASELINE.md is the
+    # hand-curated synthesis across sessions/protocols/corpus sizes, and a
+    # frozen template overwriting it silently destroyed curated evidence
+    # (and resurrected stale prose) twice in round 3.
+    with open("BENCH/SCALING_RUN.md", "w") as f:
         f.write(md)
     log(md)
     print(json.dumps({

@@ -124,6 +124,7 @@ def build_index(
         return store  # fully-built index: resume is a zero-job no-op
 
     # ---- docid assignment (deterministic; cheap to redo on resume) ---------
+    t_rank = time.time()
     base = df.withColumnRenamed(text_col, "text_in")
     if docid_col is not None:
         ranked = base.withColumn("docid", F.col(docid_col).cast("long"))
@@ -154,6 +155,9 @@ def build_index(
                 assume_sorted=cfg.input_sorted, with_count=True,
             )
     id_keep = [c for c in id_cols if c in ranked.columns]
+    pending_lineage.append(
+        ("rank", -1, num_docs, None, None, int((time.time() - t_rank) * 1000), "done")
+    )
 
     if store.exists("meta"):
         # resumed build past the stats point: the Header row already holds
@@ -231,12 +235,17 @@ def build_index(
     try:
         if not have_stats:
             # doclength ≡ Σtf per doc (token count) — this action also
-            # materializes the occurrence cache
+            # materializes the occurrence cache (tokenize + the ONE shuffle)
+            t0 = time.time()
             if has_tf_col:
                 total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
             else:
                 total_terms = int(tf.count())
             avgdl = total_terms / num_docs if num_docs else 0.0
+            pending_lineage.append(
+                ("tokenize_shuffle", -1, total_terms, None, None,
+                 int((time.time() - t0) * 1000), "done")
+            )
 
         # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
         # dlen (docid → doclength + ids) computes ONCE into a small cache;
