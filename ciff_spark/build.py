@@ -233,20 +233,6 @@ def build_index(
     docs_future = None
     dlen = None
     try:
-        if not have_stats:
-            # doclength ≡ Σtf per doc (token count) — this action also
-            # materializes the occurrence cache (tokenize + the ONE shuffle)
-            t0 = time.time()
-            if has_tf_col:
-                total_terms = int(tf.agg(F.sum("tf")).first()[0] or 0)
-            else:
-                total_terms = int(tf.count())
-            avgdl = total_terms / num_docs if num_docs else 0.0
-            pending_lineage.append(
-                ("tokenize_shuffle", -1, total_terms, None, None,
-                 int((time.time() - t0) * 1000), "done")
-            )
-
         # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
         # dlen (docid → doclength + ids) computes ONCE into a small cache;
         # shard_sizes writes first (the encode needs it for the doclength
@@ -270,6 +256,27 @@ def build_index(
                 "docid", *id_keep,
                 F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
             ).persist()
+
+        if not have_stats:
+            # ONE materializing pass: this first action over dlen pays the
+            # tokenize + the single shuffle AND computes the doclengths;
+            # Σ doclength ≡ total_terms, so the former standalone
+            # count()/sum over the full occurrence cache — a complete second
+            # pass over the cached relation — is gone (~10% of the 1-core
+            # build wall; the per-stage _lineage walls exposed it).
+            t0 = time.time()
+            if dlen is not None:
+                total_terms = int(dlen.agg(F.sum("doclength")).first()[0] or 0)
+            else:
+                # docs + shard_sizes already written but meta absent (crash
+                # in the window before the meta write): every doclength is in
+                # the committed shard_sizes bins — sum driver-side, 0 jobs
+                total_terms = _total_terms_from_shard_sizes(store)
+            avgdl = total_terms / num_docs if num_docs else 0.0
+            pending_lineage.append(
+                ("tokenize_shuffle", -1, total_terms, None, None,
+                 int((time.time() - t0) * 1000), "done")
+            )
 
         if need_ss:
             t0 = time.time()
@@ -528,6 +535,21 @@ def _pgroup_file_stats(store: IndexStore, pgroup: int) -> tuple[int, int, int]:
         if nr:
             postings += sum(papq.read_table(f, columns=["df"])["df"].to_pylist())
     return rows, postings, nbytes
+
+
+def _total_terms_from_shard_sizes(store: IndexStore) -> int:
+    """Σ doclength over the committed shard_sizes bins — driver-side pyarrow,
+    zero Spark jobs. Resume fallback for the narrow crash window where docs
+    and shard_sizes are written but meta (which records the stats) is not."""
+    import glob as _glob
+
+    import pyarrow.parquet as papq
+
+    total = 0
+    for f in _glob.glob(store.path("shard_sizes") + "/*.parquet"):
+        for b in papq.read_table(f, columns=["dl_bin"])["dl_bin"].to_pylist():
+            total += int(np.frombuffer(b, dtype="<u4").sum())
+    return total
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:
