@@ -159,9 +159,34 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
         f"{wstats.get('total_blocks', 0)} = {decode_ratio:.3f}"
     )
 
+    # quantized-impact retrieval: cold build of the tf·idf impact index +
+    # Σ-impact WAND through the Spark reader and the serving path
+    from ciff_spark.operators.impact_queries import impact_index
+
+    shutil.rmtree(index_root_for(sf_dir) + "_impact", ignore_errors=True)
+    sec, istore = _timed(lambda: impact_index(spark, sf_dir))
+    queries["impact_index_build"] = round(sec, 3)
+    ireader = IndexReader(spark, istore.root)
+    sec, _ = _timed(
+        lambda: ireader.topk(batch, k=10, mode="wand", scoring="impact").count()
+    )
+    queries["impact_wand_batch20"] = round(sec, 3)
+    isearcher = LocalSearcher(istore.root)
+    isearcher.search("dup batch", k=10, scoring="impact")
+    ilats = sorted(
+        _timed(lambda q=qtext: isearcher.search(q, k=10, scoring="impact"))[0]
+        for _, qtext in batch
+    )
+    queries["impact_serve_p50_ms"] = round(ilats[len(ilats) // 2] * 1000, 2)
+    log(
+        f"impact: build {queries['impact_index_build']}s, wand batch "
+        f"{queries['impact_wand_batch20']}s, serve p50 {queries['impact_serve_p50_ms']}ms"
+    )
+
     # 4. operator families (one action each)
     singles = {
         "bm25_relational_mix": lambda: index_queries.QUERIES["bm25_rel_mix"][0](spark, sf_dir).count(),
+        "dedup_clusters": lambda: dedup.dedup_clusters(spark, sf_dir).count(),
         "a1_invert_tf": lambda: index_queries.a1_invert_tf(spark, sf_dir).count(),
         "dedup_minhash_lsh": lambda: dedup.dedup_minhash_lsh_pairs(spark, sf_dir).count(),
         "dedup_simhash": lambda: dedup.dedup_simhash(spark, sf_dir).count(),
