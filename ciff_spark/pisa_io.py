@@ -123,6 +123,150 @@ def open_lexicon(path: str) -> LexiconView:
 
 
 # ---------------------------------------------------------------------------
+# front-coded lexicon (compressed term dictionary; ours, not a reference
+# format — SURVEY §9(5): for vocabularies where the plain payload vector's
+# 8-byte offset per term + full strings dominate; sorted term lists share
+# long prefixes, so blocks store one full head + (lcp, suffix) deltas)
+# ---------------------------------------------------------------------------
+
+FC_MAGIC = b"FCLX"
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_uvarint(buf, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def build_fc_lexicon(strings: list[str], block: int = 16) -> bytes:
+    """Front-coded payload vector: ``[FCLX][u64 count][u32 block]``, a
+    ``u64`` offset per block (+1 sentinel), then blocks of up to ``block``
+    strings — head as ``[varint len][bytes]``, the rest as
+    ``[varint lcp][varint suffix_len][suffix]``. Random access decodes one
+    block (≤ ``block`` small ops); ``index_of`` binary-searches the O(1)
+    block HEADS then scans one block — O(log n_blocks) + O(block)."""
+    payloads = [s.encode() for s in strings]
+    blocks: list[bytes] = []
+    for i in range(0, len(payloads), block):
+        chunk = payloads[i : i + block]
+        out = bytearray(_uvarint(len(chunk[0])))
+        out += chunk[0]
+        prev = chunk[0]
+        for p in chunk[1:]:
+            lcp = 0
+            m = min(len(prev), len(p))
+            while lcp < m and prev[lcp] == p[lcp]:
+                lcp += 1
+            out += _uvarint(lcp) + _uvarint(len(p) - lcp) + p[lcp:]
+            prev = p
+        blocks.append(bytes(out))
+    offsets = np.zeros(len(blocks) + 1, dtype="<u8")
+    np.cumsum([len(b) for b in blocks], out=offsets[1:])
+    return (
+        FC_MAGIC
+        + struct.pack("<QI", len(payloads), block)
+        + offsets.tobytes()
+        + b"".join(blocks)
+    )
+
+
+class FcLexiconView:
+    """Random access + sorted search over a front-coded lexicon buffer
+    (bytes or mmap). Only the block offset table loads eagerly — 8 bytes per
+    ``block`` strings vs the plain payload vector's 8 per string."""
+
+    def __init__(self, buf) -> None:
+        if bytes(buf[:4]) != FC_MAGIC:
+            raise ValueError("not a front-coded lexicon (bad magic)")
+        self._count, self._block = struct.unpack_from("<QI", buf, 4)
+        n_blocks = -(-self._count // self._block) if self._count else 0
+        self._offsets = np.frombuffer(buf, dtype="<u8", count=n_blocks + 1, offset=16)
+        self._base = 16 + 8 * (n_blocks + 1)
+        self._buf = buf
+
+    def __len__(self) -> int:
+        return self._count
+
+    def _head(self, bi: int) -> bytes:
+        pos = self._base + int(self._offsets[bi])
+        ln, pos = _read_uvarint(self._buf, pos)
+        return bytes(self._buf[pos : pos + ln])
+
+    def _iter_block(self, bi: int):
+        pos = self._base + int(self._offsets[bi])
+        end = self._base + int(self._offsets[bi + 1])
+        ln, pos = _read_uvarint(self._buf, pos)
+        cur = bytes(self._buf[pos : pos + ln])
+        pos += ln
+        yield cur
+        while pos < end:
+            lcp, pos = _read_uvarint(self._buf, pos)
+            sl, pos = _read_uvarint(self._buf, pos)
+            cur = cur[:lcp] + bytes(self._buf[pos : pos + sl])
+            pos += sl
+            yield cur
+
+    def __getitem__(self, i: int) -> str:
+        if not 0 <= i < self._count:
+            raise IndexError(i)
+        bi, off = divmod(i, self._block)
+        for j, p in enumerate(self._iter_block(bi)):
+            if j == off:
+                return p.decode()
+        raise IndexError(i)  # pragma: no cover — offsets guarantee presence
+
+    def __iter__(self):
+        n_blocks = len(self._offsets) - 1
+        for bi in range(n_blocks):
+            for p in self._iter_block(bi):
+                yield p.decode()
+
+    def index_of(self, s: str) -> int | None:
+        """SORTED lexicons: binary search over block heads, scan one block."""
+        if not self._count:
+            return None
+        key = s.encode()
+        lo, hi = 0, len(self._offsets) - 2  # last valid block index
+        # rightmost block whose head <= key
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self._head(mid) <= key:
+                lo = mid
+            else:
+                hi = mid - 1
+        if self._head(lo) > key:
+            return None
+        for j, p in enumerate(self._iter_block(lo)):
+            if p == key:
+                return lo * self._block + j
+            if p > key:
+                return None
+        return None
+
+
+def open_fc_lexicon(path: str) -> FcLexiconView:
+    import mmap
+
+    f = open(path, "rb")
+    return FcLexiconView(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+
+
+# ---------------------------------------------------------------------------
 # whole-index write/read
 # ---------------------------------------------------------------------------
 
@@ -133,6 +277,7 @@ def write_pisa(
     sizes: np.ndarray,
     titles: list[str],
     lexicons: bool = True,
+    front_coded: bool = False,
 ) -> None:
     """Unsorted ``terms`` are permuted into lexicographic order before the
     write — matching the reference, which silently re-sorts via
@@ -158,6 +303,11 @@ def write_pisa(
             f.write(build_lexicon(terms))
         with open(f"{base}.doclex", "wb") as f:
             f.write(build_lexicon(titles))
+    if front_coded:
+        # ours, not a reference interop file: compressed term dictionary for
+        # vocabularies where the plain payload vector dominates (SURVEY §9(5))
+        with open(f"{base}.termlex.fc", "wb") as f:
+            f.write(build_fc_lexicon(terms))
 
 
 def read_pisa(base: str):

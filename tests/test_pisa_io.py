@@ -132,3 +132,64 @@ def test_export_index_to_pisa(spark, tmp_path):
     # lexicons readable and aligned
     assert read_lexicon(open(f"{base}.termlex", "rb").read()) == terms
     assert read_lexicon(open(f"{base}.doclex", "rb").read()) == titles
+
+
+# ---------------------------------------------------------------------------
+# front-coded lexicon
+# ---------------------------------------------------------------------------
+
+def test_fc_lexicon_roundtrip_and_access():
+    from ciff_spark.pisa_io import FcLexiconView, build_fc_lexicon, build_lexicon
+
+    terms = sorted(
+        {f"prefix_shared_{i % 7}_{i:05d}" for i in range(500)}
+        | {"a", "ab", "abc", "zz", ""}
+    )
+    buf = build_fc_lexicon(terms, block=16)
+    v = FcLexiconView(buf)
+    assert len(v) == len(terms)
+    assert list(v) == terms
+    for i in (0, 1, 15, 16, 17, len(terms) - 1):
+        assert v[i] == terms[i]
+    for probe in (terms[0], terms[16], terms[-1], terms[len(terms) // 2]):
+        assert v.index_of(probe) == terms.index(probe)
+    assert v.index_of("not_in_lexicon") is None
+    assert v.index_of("") == 0  # empty string is a valid first entry
+    # shared prefixes must actually compress vs the plain payload vector
+    assert len(buf) < len(build_lexicon(terms))
+
+
+def test_fc_lexicon_hypothesis_lists():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ciff_spark.pisa_io import FcLexiconView, build_fc_lexicon
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.text(max_size=24), max_size=60),
+        st.integers(min_value=1, max_value=8),
+    )
+    def check(strings, block):
+        strings = sorted(set(strings))
+        v = FcLexiconView(build_fc_lexicon(strings, block=block))
+        assert list(v) == strings
+        for i, s in enumerate(strings):
+            assert v[i] == s
+            assert v.index_of(s) == i
+
+    check()
+
+
+def test_fc_lexicon_empty_and_mmap(tmp_path):
+    from ciff_spark.pisa_io import FcLexiconView, build_fc_lexicon, open_fc_lexicon
+
+    empty = FcLexiconView(build_fc_lexicon([]))
+    assert len(empty) == 0 and list(empty) == []
+    assert empty.index_of("x") is None
+
+    p = tmp_path / "t.termlex.fc"
+    p.write_bytes(build_fc_lexicon(["alpha", "beta", "gamma"], block=2))
+    v = open_fc_lexicon(str(p))
+    assert [v[0], v[1], v[2]] == ["alpha", "beta", "gamma"]
+    assert v.index_of("beta") == 1 and v.index_of("delta") is None
