@@ -370,8 +370,43 @@ WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
 """
 
 
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) for every embedding: connected components over the
+    verified LSH near-dup edges (min vec_id per component; singletons are
+    their own cluster) — the embedding-field twin of ``dedup_clusters``,
+    sharing the same distributed min-label propagation."""
+    from ciff_spark.operators.dedup import connected_components
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("docid")
+    )
+    pairs = neardup_lsh_pairs(spark, sf_dir).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    return connected_components(vecs, pairs).select(
+        F.col("docid").alias("vec_id"), "cluster"
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT v1, v2 FROM ({NEARDUP_LSH_SQL}) p),
+edges AS (
+  SELECT v1 AS src, v2 AS dst FROM pairs
+  UNION ALL
+  SELECT v2 AS src, v1 AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
     "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
