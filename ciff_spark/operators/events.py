@@ -86,6 +86,113 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def ev_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization, driver-checkable: feed the events table
+    through the stateful ``applyInPandasWithState`` sessionizer
+    (``streaming/sessionize.py``) as a file stream — one ``availableNow``
+    run over the real events plus a far-future sentinel, then a second run
+    whose later sentinel advances the watermark past every real session's
+    close point (timeouts fire against the previous run's watermark, hence
+    two runs; state crosses the runs via the checkpoint, so this also
+    exercises restart recovery). The emitted closed sessions must equal the
+    batch window-function answer — the oracle is ``ev_sessionize``'s SQL
+    minus the session numbering (a stream has no global per-user index)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ciff_spark.streaming.sessionize import streaming_sessionize
+
+    work = tempfile.mkdtemp(prefix="ciff_evstream_")
+    inp, out, cp = f"{work}/in", f"{work}/out", f"{work}/cp"
+    os.makedirs(inp)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{inp}/events.parquet")
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        mx = ev["ts"].max()
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        sentinel_uid = 10**12
+        for i in range(2):
+            s = pd.DataFrame(
+                {
+                    "event_id": [10**9 + i],
+                    "ts": [mx + pd.Timedelta(days=30 * (i + 1))],
+                    "user_id": [sentinel_uid + i],
+                    "event_type": ["x"],
+                    "value": [0.0],
+                    "props": [""],
+                }
+            )
+            s["ts"] = s["ts"].astype("datetime64[us]")
+            s.to_parquet(f"{inp}/z_sentinel{i}.parquet")
+            q = (
+                streaming_sessionize(spark, inp, schema)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        got = spark.read.schema(
+            "user_id long, start_s double, end_s double, n_events long, "
+            "sum_value_micros long"
+        ).parquet(out).toPandas()
+        got = got[got["user_id"] < sentinel_uid]
+        res = pd.DataFrame(
+            {
+                "user_id": got["user_id"].astype("int64"),
+                "start_ts": pd.to_datetime(got["start_s"], unit="s").dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "end_ts": pd.to_datetime(got["end_s"], unit="s").dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "n_events": got["n_events"].astype("int64"),
+                "sum_value_micros": got["sum_value_micros"].astype("int64"),
+            }
+        )
+        return spark.createDataFrame(
+            res,
+            "user_id long, start_ts string, end_ts string, n_events long, "
+            "sum_value_micros long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the batch oracle minus session numbering: a stream emits closed sessions,
+# not a per-user index (rows stay distinct — sessions of one user differ in
+# start_ts)
+EV_SESSIONIZE_STREAMED_SQL = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       count(*)::BIGINT AS n_events,
+       CAST(sum({_micros_sql('value')}) AS BIGINT) AS sum_value_micros
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(
@@ -114,5 +221,6 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 QUERIES: dict[str, tuple] = {
     "ev_sessionize": (ev_sessionize, EV_SESSIONIZE_SQL),
+    "ev_sessionize_streamed": (ev_sessionize_streamed, EV_SESSIONIZE_STREAMED_SQL),
     "ev_tumbling_hour": (ev_tumbling_hour, EV_TUMBLING_SQL),
 }

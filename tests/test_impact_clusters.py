@@ -121,3 +121,48 @@ def test_impact_local_searcher_matches_reader(spark, tmp_path):
         for d, s in LocalSearcher(root).search("w1 w4 w6", k=7, scoring="impact")
     ]
     assert got == want and len(got) == 7
+
+
+def test_impact_index_exports_to_pisa_and_ciff(spark, tmp_path):
+    """The quantized impact index exchanges through the same PISA/CIFF
+    export path as the BM25 index — the reference's jsonl2ciff raison
+    d'etre (learned-sparse index exchange)."""
+    rows = [
+        ("a", 0, "red", 3.0), ("a", 0, "blue", 1.0),
+        ("b", 1, "red", 9.0), ("b", 1, "green", 2.0),
+        ("c", 2, "blue", 5.0), ("c", 2, "green", 7.5),
+    ]
+    import pandas as _pd
+
+    raw = spark.createDataFrame(
+        _pd.DataFrame(rows, columns=["ext_id", "pos", "term", "score"])
+    )
+    root = str(tmp_path / "imp4")
+    build_index_from_vector_rows(
+        spark, raw, root, quantize=True, n_shards=2, n_pgroups=2
+    )
+    from ciff_spark.ciff_io import read_ciff
+    from ciff_spark.pisa_io import export_index_to_pisa, pisa_to_ciff_file, read_pisa
+
+    base = str(tmp_path / "px")
+    export_index_to_pisa(spark, root, base)
+    terms, postings, sizes, titles = read_pisa(base)
+    assert terms == ["blue", "green", "red"]
+    assert titles == ["a", "b", "c"]  # first-seen docid order
+    # exported postings == what the impact reader serves: exact-mode top-k
+    # with k >= df returns every (docid, impact=tf) of a single-term query
+    reader = IndexReader(spark, root)
+    for t in terms:
+        got = {
+            (int(r["docid"]), int(r["score"]))
+            for r in reader.topk([(0, t)], k=100, scoring="impact").collect()
+        }
+        d, tf = postings[t]
+        assert got == set(zip(d.tolist(), tf.tolist()))
+    # CIFF round trip: header stats match the unique-terms doclength quirk
+    cpath = str(tmp_path / "x.ciff")
+    pisa_to_ciff_file(base, cpath)
+    header, pls, recs = read_ciff(cpath)
+    assert header.num_docs == 3
+    assert [p.term for p in pls] == terms
+    assert [r.doclength for r in recs] == [2, 2, 2]
