@@ -533,18 +533,28 @@ def run_scaling_concurrent(n_convs: int, pair: tuple[int, int] = (1, 4), repeats
         log(stage.stderr[-2000:])
         raise SystemExit("staging failed")
 
-    def leg(cores: int, cpu_list: str, out: dict) -> None:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        r = subprocess.run(
-            ["taskset", "-c", cpu_list, sys.executable, __file__,
-             "--build-only", "--convs", str(n_convs)],
-            capture_output=True, text=True, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if r.returncode != 0:
-            log(r.stderr[-3000:])
-            raise SystemExit(f"concurrent leg at {cores} cores failed")
-        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+    if lo == hi:
+        raise SystemExit(f"--pair {lo},{hi}: legs must differ (efficiency is trivially 1)")
+
+    def leg(cores: int, cpu_list: str, out: dict, errs: dict) -> None:
+        # exceptions must NOT be raised here: SystemExit inside a non-main
+        # thread is silently swallowed by threading's bootstrap and the
+        # protocol would die later with a bare KeyError — record and re-raise
+        # in the main thread instead
+        try:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            r = subprocess.run(
+                ["taskset", "-c", cpu_list, sys.executable, __file__,
+                 "--build-only", "--convs", str(n_convs)],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if r.returncode != 0:
+                log(r.stderr[-3000:])
+                raise RuntimeError(f"concurrent leg at {cores} cores failed (rc {r.returncode})")
+            out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+        except BaseException as ex:  # noqa: BLE001 — re-raised by the caller
+            errs[cores] = ex
 
     # Disjoint pinned core sets derived from the pair: lo leg on cores
     # [0, lo), hi leg on [lo, lo+hi) — e.g. pair (1,4) -> "0" and "1-4".
@@ -553,10 +563,15 @@ def run_scaling_concurrent(n_convs: int, pair: tuple[int, int] = (1, 4), repeats
     effs = []
     for rep in range(repeats):
         res: dict = {}
-        t_lo = threading.Thread(target=leg, args=(lo, lo_cpus, res))
-        t_hi = threading.Thread(target=leg, args=(hi, hi_cpus, res))
+        errs: dict = {}
+        t_lo = threading.Thread(target=leg, args=(lo, lo_cpus, res, errs))
+        t_hi = threading.Thread(target=leg, args=(hi, hi_cpus, res, errs))
         t_lo.start(); t_hi.start()
         t_lo.join(); t_hi.join()
+        if errs:
+            raise SystemExit(
+                "; ".join(f"{c}-core leg: {e}" for c, e in sorted(errs.items()))
+            )
         eff = (res[hi]["turns_per_sec"] / res[lo]["turns_per_sec"]) / (hi / lo)
         effs.append(eff)
         log(

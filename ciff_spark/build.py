@@ -271,7 +271,8 @@ def build_index(
                 # docs + shard_sizes already written but meta absent (crash
                 # in the window before the meta write): every doclength is in
                 # the committed shard_sizes bins — sum driver-side, 0 jobs
-                total_terms = _total_terms_from_shard_sizes(store)
+                # (_dl_array is the ONE reader of the packed dl_bin format)
+                total_terms = int(_dl_array(store, num_docs).sum())
             avgdl = total_terms / num_docs if num_docs else 0.0
             pending_lineage.append(
                 ("tokenize_shuffle", -1, total_terms, None, None,
@@ -535,21 +536,6 @@ def _pgroup_file_stats(store: IndexStore, pgroup: int) -> tuple[int, int, int]:
         if nr:
             postings += sum(papq.read_table(f, columns=["df"])["df"].to_pylist())
     return rows, postings, nbytes
-
-
-def _total_terms_from_shard_sizes(store: IndexStore) -> int:
-    """Σ doclength over the committed shard_sizes bins — driver-side pyarrow,
-    zero Spark jobs. Resume fallback for the narrow crash window where docs
-    and shard_sizes are written but meta (which records the stats) is not."""
-    import glob as _glob
-
-    import pyarrow.parquet as papq
-
-    total = 0
-    for f in _glob.glob(store.path("shard_sizes") + "/*.parquet"):
-        for b in papq.read_table(f, columns=["dl_bin"])["dl_bin"].to_pylist():
-            total += int(np.frombuffer(b, dtype="<u4").sum())
-    return total
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:

@@ -432,24 +432,24 @@ def connected_components(
                 .agg(F.min("ncl").alias("nbr_min"))
                 .withColumnRenamed("src", "docid")
             )
-            new = (
+            # ONE join per round: the convergence signal IS nbr_min < cluster,
+            # carried as a flag column through the checkpoint instead of
+            # re-joining new against labels (which doubled the per-round cost)
+            stepped = (
                 labels.join(nbr, "docid", "left")
                 .select(
                     "docid",
                     F.least(
                         F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
                     ).alias("cluster"),
+                    (F.col("nbr_min") < F.col("cluster"))
+                    .cast("int")
+                    .alias("_chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.select("docid", F.col("cluster").alias("nc"))
-                .join(labels, "docid")
-                .where(F.col("nc") != F.col("cluster"))
-                .limit(1)
-                .count()
-            )
-            labels = new
+            changed = int(stepped.agg(F.max("_chg")).first()[0] or 0)
+            labels = stepped.drop("_chg")
             if changed == 0:
                 return labels
         raise RuntimeError(

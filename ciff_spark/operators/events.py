@@ -60,7 +60,10 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EV_SESSIONIZE_SQL = f"""
+# ONE pinned copy of the session-derivation CTEs — both the batch and the
+# streamed oracle interpolate it, so the gap predicate / tie-break order can
+# never drift between the two entries (the repo's shared-fragment rule)
+_SESS_CTES_SQL = f"""
 WITH s AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -74,6 +77,10 @@ sess AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
   FROM s
 )
+"""
+
+EV_SESSIONIZE_SQL = f"""
+{_SESS_CTES_SQL}
 -- CAST(session_idx): DuckDB types a windowed integer sum() as HUGEINT, which
 -- .df() materializes to pandas float64 (1.0 vs Spark's int64 1) — rows/schema
 -- still match but the driver's value hash flips. Red in rounds 1-2.
@@ -139,7 +146,14 @@ def ev_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            # fail loud on timeout: proceeding would start a second query on
+            # the SAME checkpoint while this one is active, or compare a
+            # partially-emitted session set against the oracle
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    f"streaming sessionize run {i} exceeded 600s on {sf_dir}"
+                )
         got = spark.read.schema(
             "user_id long, start_s double, end_s double, n_events long, "
             "sum_value_micros long"
@@ -171,19 +185,7 @@ def ev_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not a per-user index (rows stay distinct — sessions of one user differ in
 # start_ts)
 EV_SESSIONIZE_STREAMED_SQL = f"""
-WITH s AS (
-  SELECT user_id, ts, event_id, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
-  FROM s
-)
+{_SESS_CTES_SQL}
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,

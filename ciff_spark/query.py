@@ -218,6 +218,10 @@ class IndexReader:
         shards; worthwhile when shards are large, overhead when the per-job
         fixed cost dominates (measured in bench.py).
         """
+        if scoring not in ("bm25", "impact"):
+            # validate HERE, not only in the wand kernel — mode="exact" with
+            # a typo'd scoring would otherwise silently fall back to BM25
+            raise ValueError(f"unknown scoring {scoring!r}")
         qpdf, terms = self._query_frame(queries)
         if not terms:
             return self.spark.createDataFrame([], "qid int, docid bigint, score double")

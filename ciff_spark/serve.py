@@ -234,6 +234,8 @@ class LocalSearcher:
         ``scoring="impact"`` serves quantized impact indexes (Σ stored tf,
         term weight 1.0, max_tf block bounds) — PISA's quantized scorer over
         the same artifact the distributed impact reader queries."""
+        if scoring not in ("bm25", "impact"):
+            raise ValueError(f"unknown scoring {scoring!r}")
         terms = sorted(set(tokenize_py(query)))
         lists_by_term = self._fetch_lists(terms)
         if not lists_by_term:
@@ -327,16 +329,26 @@ class FreshSearcher(LocalSearcher):
         query: str,
         k: int = 10,
         stats: dict | None = None,
+        scoring: str = "bm25",
         round_decimals: int | None = None,
     ) -> list[tuple[int, float]]:
-        """``stats`` (same position/meaning as LocalSearcher.search —
-        substitutability): decode counters; exhaustive scoring decodes every
-        block of the query lists, so decoded == total here.
+        """``stats`` and ``scoring`` hold LocalSearcher.search's positions
+        (substitutability — a caller written against the base class must not
+        have its 4th positional land in ``round_decimals``): decode
+        counters; exhaustive scoring decodes every block of the query lists,
+        so decoded == total here. ``scoring="impact"`` is not implemented
+        for fresh serving (segment stats are BM25-shaped) and raises rather
+        than silently scoring BM25 over an impact index.
         ``round_decimals``: rank on rounded scores (docid tiebreak) — the
         driver/oracle ordering contract; sound here because scoring is
         exhaustive (no pruning threshold to guard)."""
         from ciff_spark.functions.scoring import tfnorm_np
 
+        if scoring != "bm25":
+            raise NotImplementedError(
+                f"FreshSearcher serves BM25 only (got scoring={scoring!r}); "
+                "compact segments and serve impact indexes via LocalSearcher"
+            )
         terms = sorted(set(tokenize_py(query)))
         if not terms:
             return []

@@ -193,3 +193,24 @@ def test_fc_lexicon_empty_and_mmap(tmp_path):
     v = open_fc_lexicon(str(p))
     assert [v[0], v[1], v[2]] == ["alpha", "beta", "gamma"]
     assert v.index_of("beta") == 1 and v.index_of("delta") is None
+
+
+def test_write_pisa_front_coded_termlex(tmp_path):
+    from ciff_spark.pisa_io import open_fc_lexicon, open_lexicon, write_pisa
+    import numpy as np
+
+    base = str(tmp_path / "fc")
+    # deliberately unsorted input: write_pisa re-sorts, and the .fc lexicon
+    # must be built over the SORTED terms
+    terms = ["gamma", "alpha", "beta"]
+    postings = {
+        "alpha": (np.array([0, 2]), np.array([1, 3])),
+        "beta": (np.array([1]), np.array([2])),
+        "gamma": (np.array([0]), np.array([5])),
+    }
+    write_pisa(base, terms, postings, np.array([2, 2, 1]), ["d0", "d1", "d2"],
+               front_coded=True)
+    fc = open_fc_lexicon(f"{base}.termlex.fc")
+    plain = open_lexicon(f"{base}.termlex")
+    assert list(fc) == list(plain) == ["alpha", "beta", "gamma"]
+    assert fc.index_of("beta") == 1 and fc.index_of("zeta") is None
