@@ -161,22 +161,52 @@ def _build_from_idmap(
 
     rows = quantize_scores(raw, quantize)
 
+    # cached: consumed by BOTH the doclength aggregation and the encode —
+    # uncached, the whole upstream (quantize range pass + id join + tf agg)
+    # ran twice per build
     tf = (
         rows.join(idmap, "ext_id")
         .groupBy("term", "docid")
         .agg(F.sum("tf").cast("long").alias("tf"))  # repeated ids accumulate
         .where(F.col("tf") > 0)
-    )
+    ).persist()
+    try:
+        return _finish_build(
+            spark, store, tf, idmap, source_desc, quantize, doclength_mode,
+            n_shards, n_pgroups, block_size,
+        )
+    finally:
+        tf.unpersist()
 
+
+def _finish_build(
+    spark, store, tf, idmap, source_desc, quantize, doclength_mode,
+    n_shards, n_pgroups, block_size,
+):
     if doclength_mode == "unique_terms":  # the reference quirk (lib.rs:1042)
         dlen = tf.groupBy("docid").agg(F.count("*").alias("doclength"))
     elif doclength_mode == "sum_tf":
         dlen = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("doclength"))
     else:
         raise ValueError(doclength_mode)
+    # consumed by the write, the stats agg, and shard_sizes; released in
+    # the finally below so failure paths don't leak the cache
     docs = idmap.join(dlen, "docid", "left").select(
         "docid", "ext_id", F.coalesce("doclength", F.lit(0)).cast("int").alias("doclength")
-    )
+    ).persist()
+    try:
+        return _write_tables(
+            spark, store, tf, docs, source_desc, quantize, doclength_mode,
+            n_shards, n_pgroups, block_size,
+        )
+    finally:
+        docs.unpersist()
+
+
+def _write_tables(
+    spark, store, tf, docs, source_desc, quantize, doclength_mode,
+    n_shards, n_pgroups, block_size,
+):
     store.write("docs", docs)
 
     stats = docs.agg(F.count("*").alias("n"), F.sum("doclength").alias("t")).first()
@@ -232,7 +262,16 @@ def _build_from_idmap(
         F.min("pgroup").alias("pgroup"),
     ).sortWithinPartitions("term")
     store.write("term_stats", ts)
-    num_terms = store.read(spark, "term_stats").count()
+    # one row per term: the written files' footers already know the count —
+    # no Spark job to re-scan a table this build just wrote
+    import glob as _glob
+
+    import pyarrow.parquet as _papq
+
+    num_terms = sum(
+        _papq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(store.path("term_stats") + "/*.parquet")
+    )
     store.write(
         "meta",
         spark.createDataFrame(
