@@ -105,6 +105,53 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(min(height or 8, 8), min(width or 8, 8), 3), dtype=np.uint8)
 
 
+def stage_expected_features_parquet(
+    path: str, n: int, seed: int = 42, dim: int = FEATURE_DIM
+) -> str:
+    """Golden expected output of :func:`extract_features` over the synthetic
+    media table, computed WITHOUT Spark (plain driver-side loop) and staged as
+    one parquet file: (media_id, kind, dim_idx, fv float32). The DuckDB oracle
+    reads this file, so ``mm_feature_extract`` gets a full value-hash check of
+    the Arrow-batch plumbing (batching, null metadata handling, row
+    completeness) instead of the rows-only fallback. The decode stub is shared
+    — it IS the spec — but the reduction and the execution path are
+    independent."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ids, kinds, idxs, fvs = [], [], [], []
+    for media_id, kind, payload, width, height, _sr, _dur in _media_rows(n, seed):
+        px = _decode_image_stub(payload, width if width else 8, height if height else 8)
+        flat = px.reshape(-1).astype(np.float64)
+        k = max(1, flat.size // dim)
+        vec = flat[: k * dim].reshape(dim, k).sum(axis=1) / k
+        # np.linalg.norm, not sqrt((v*v).sum()): BLAS ddot sums sequentially,
+        # pairwise summation can differ by an ULP — the staged golden must be
+        # bit-identical to the UDF's arithmetic
+        vec = (vec / (np.linalg.norm(vec) or 1.0)).astype(np.float32)
+        ids.extend([media_id] * dim)
+        kinds.extend([kind] * dim)
+        idxs.extend(range(dim))
+        fvs.extend(vec.tolist())
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "dim_idx": pa.array(idxs, pa.int32()),
+            "fv": pa.array(fvs, pa.float32()),
+        }
+    )
+    tmp = f"{path}.__tmp_{os.getpid()}"
+    papq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """media → (media_id, kind, feature array<float>): Arrow-batched,
     vectorized per batch; the decode is per-item (as any codec is), the

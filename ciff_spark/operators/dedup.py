@@ -31,6 +31,21 @@ LSH_VERIFY_THRESHOLD = 0.7
 SIMHASH_BITS = 16
 
 
+def _materialize_unpersist(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly compute ``result`` (localCheckpoint), then unpersist the
+    intermediate cached frames. These query functions return DataFrames that
+    the caller consumes later, so a plain try/finally-unpersist would drop the
+    cache before anyone read it; checkpoint blocks behind the returned frame
+    are released by the ContextCleaner once the frame is garbage-collected,
+    unlike CacheManager entries, which pin executor storage until an explicit
+    unpersist (the round-3 bench tail's "already cached" warnings)."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 # -- portable md5-derived 60-bit hash ---------------------------------------
 
 def hash60_col(c: Column) -> Column:
@@ -122,7 +137,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
     )
-    return out
+    return _materialize_unpersist(out, sh)
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -218,13 +233,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("it"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("docid", "d1").withColumnRenamed("n", "n1"), "d1")
         .join(sizes.withColumnRenamed("docid", "d2").withColumnRenamed("n", "n2"), "d2")
         .withColumn("jaccard", F.round(F.col("it") / (F.col("n1") + F.col("n2") - F.col("it")), 6))
         .where(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
         .select("d1", "d2", "jaccard")
     )
+    return _materialize_unpersist(out, sh, bands)
 
 
 DEDUP_LSH_SQL = f"""
@@ -355,7 +371,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    return _materialize_unpersist(
+        cand.where(F.col("hamming") <= SIMHASH_MAX_HAMMING), sh
+    )
 
 
 _SIMHASH_BANDS_SQL = " UNION ALL ".join(
@@ -383,7 +401,9 @@ SELECT d1, d2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 _CC_MAX_ITERS = 50
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(docid, cluster) for EVERY document: cluster = min docid reachable
     through the verified MinHash-LSH near-duplicate edges (singletons are
     their own cluster) — the keep-one-representative step of a dedup
@@ -403,8 +423,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("docid")
     )
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
-    return connected_components(docs, pairs)
+    if pairs is None:  # pass precomputed verified pairs to skip the LSH pass
+        pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(docs, pairs.select("d1", "d2"))
 
 
 def connected_components(

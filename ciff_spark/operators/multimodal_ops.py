@@ -4,9 +4,11 @@ The synthetic media table (seeded, deterministic) is staged once as a single
 parquet file that BOTH engines read — Spark via ``spark.read.parquet`` and
 the DuckDB oracle via ``read_parquet('<same path>')`` — so ``mm_media_stats``
 and ``mm_frame_sample`` get full row/schema/value-hash oracle checks.
-``mm_feature_extract`` stays rows-only: it runs the (stubbed) decoder inside
-Arrow batches, which is deliberately not ANSI-SQL-expressible; determinism is
-pytest-asserted instead."""
+``mm_feature_extract``'s stub decoder (sha256 → PCG64) is not
+ANSI-SQL-expressible, so its oracle is a golden parquet staged by a
+non-Spark driver-side computation of the same spec
+(``stage_expected_features_parquet``) — the hash check then pins the Arrow
+batch plumbing: batching, nullable-metadata handling, row completeness."""
 
 from __future__ import annotations
 
@@ -17,6 +19,7 @@ from ciff_spark.multimodal import (
     extract_features,
     frame_sample,
     media_stats,
+    stage_expected_features_parquet,
     stage_media_parquet,
 )
 
@@ -26,6 +29,7 @@ FRAME_EVERY_MS = 10_000
 # one fixed path: the table is a pure function of (N_MEDIA, SEED), never of
 # sf_dir, and oracle_sql() must be a static string
 STAGED_MEDIA = "/root/repo/.staged/media_n120_s42.parquet"
+STAGED_FEATURES = "/root/repo/.staged/media_features_n120_s42.parquet"
 
 
 def _media(spark: SparkSession) -> DataFrame:
@@ -48,15 +52,25 @@ GROUP BY kind
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature vectors, exploded to scalar rows (media_id, kind,
+    dim_idx, fv) and rounded at 6 digits, so EVERY component is value-hash
+    checked against the non-Spark golden staged by
+    ``stage_expected_features_parquet`` (r3's rows-only gap closed)."""
+    stage_expected_features_parquet(STAGED_FEATURES, N_MEDIA, seed=SEED)
     feats = extract_features(_media(spark))
-    # surface a deterministic scalar per row so the rows-only check still
-    # pins content shape (norms ≈ 1, first component)
     return feats.select(
         "media_id",
         "kind",
-        F.size("feature").alias("dim"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.posexplode("feature").alias("dim_idx", "fv0"),
+    ).select(
+        "media_id", "kind", "dim_idx", F.round(F.col("fv0").cast("double"), 6).alias("fv")
     )
+
+
+MM_FEATURE_EXTRACT_SQL = f"""
+SELECT media_id, kind, dim_idx, round(CAST(fv AS DOUBLE), 6) AS fv
+FROM read_parquet('{STAGED_FEATURES}')
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +90,6 @@ WHERE kind IN ('video', 'audio')
 
 QUERIES: dict[str, tuple] = {
     "mm_media_stats": (mm_media_stats, MM_MEDIA_STATS_SQL),
-    "mm_feature_extract": (mm_feature_extract, None),
+    "mm_feature_extract": (mm_feature_extract, MM_FEATURE_EXTRACT_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
 }

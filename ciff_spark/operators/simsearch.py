@@ -370,7 +370,9 @@ WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
 """
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, cluster) for every embedding: connected components over the
     verified LSH near-dup edges (min vec_id per component; singletons are
     their own cluster) — the embedding-field twin of ``dedup_clusters``,
@@ -380,9 +382,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("docid")
     )
-    pairs = neardup_lsh_pairs(spark, sf_dir).select(
-        F.col("v1").alias("d1"), F.col("v2").alias("d2")
-    )
+    if pairs is None:  # pass precomputed verified pairs to skip the LSH pass
+        pairs = neardup_lsh_pairs(spark, sf_dir)
+    pairs = pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
     return connected_components(vecs, pairs).select(
         F.col("docid").alias("vec_id"), "cluster"
     )
