@@ -40,9 +40,11 @@ from ciff_spark.store import IndexStore
 def impact_vector_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(ext_id, pos, term, score) learned-sparse-style rows derived from
     ``documents``: score = tf · (N / df). All-positive by construction, so
-    the quantizer's positive-range pass sees every row."""
+    the quantizer's positive-range pass sees every row. N rides in-plan as a
+    broadcast 1-row cross join — no separate ``docs.count()`` action/scan
+    (the same one-scan pattern ``a4_index_meta`` uses)."""
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
+    ncol = docs.agg(F.count("*").cast("double").alias("_n"))
     tf = (
         docs.select(
             F.col("doc_id").cast("long").alias("ext_id"),
@@ -52,14 +54,18 @@ def impact_vector_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-    return tf.join(F.broadcast(dfs), "term").select(
-        "ext_id",
-        F.col("ext_id").alias("pos"),  # first-seen order = doc_id order
-        "term",
-        (
-            F.col("tf").cast("double")
-            * (F.lit(float(n)) / F.col("df").cast("double"))
-        ).alias("score"),
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(ncol))
+        .select(
+            "ext_id",
+            F.col("ext_id").alias("pos"),  # first-seen order = doc_id order
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.col("_n") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
     )
 
 
@@ -96,6 +102,112 @@ def _impact_indexed(query: str, mode: str):
         )
 
     return fn
+
+
+IMPACT_FRESH_BASE_FRAC = 0.8
+
+
+def _impact_fresh(query: str, base_frac: float = IMPACT_FRESH_BASE_FRAC):
+    """Streaming-freshness for the IMPACT index, driver-checkable: quantize
+    + index the first ``base_frac`` of the corpus's learned-sparse vectors as
+    the base (fitting the quantizer range there), stream the rest in as a
+    vector segment (``append_vector_batch`` — quantized with the base's
+    FROZEN range, clamped), and serve Σ-impact over base ∪ segment with
+    ``FreshSearcher(scoring="impact")``. The oracle recomputes exactly that:
+    range fitted on the base slice only, every doc quantized with it."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        from ciff_spark.serve import FreshSearcher
+        from ciff_spark.sources.jsonl_vectors import build_index_from_vector_rows
+        from ciff_spark.streaming.incremental import (
+            SEG_DOCS,
+            _committed_segment_ids,
+            append_vector_batch,
+            read_segments,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        cut = int(docs.count() * base_frac)
+        root = index_root_for(sf_dir) + "_impact_fresh"
+        store = IndexStore(root)
+        # reuse point is base AND committed segment (a crash between the two
+        # must rebuild, not serve a base-only index forever)
+        if not (store.exists("meta") and _committed_segment_ids(store)):
+            store.drop()
+            rows = impact_vector_rows(spark, sf_dir).persist()
+            try:
+                build_index_from_vector_rows(
+                    spark, rows.where(F.col("ext_id") < cut), root, quantize=True,
+                    source_desc=f"fresh-base impact vectors @ {sf_dir}",
+                )
+                append_vector_batch(
+                    spark, store, rows.where(F.col("ext_id") >= cut), 0
+                )
+            finally:
+                rows.unpersist()
+        hits = FreshSearcher(root).search(query, k=K, scoring="impact")
+        out = spark.createDataFrame(
+            pd.DataFrame(hits, columns=["docid", "score"]),
+            "docid bigint, score double",
+        )
+        idmap = store.read(spark, "docs").select("docid", "ext_id").unionAll(
+            read_segments(spark, store, SEG_DOCS).select("docid", "ext_id")
+        )
+        return (
+            idmap.join(F.broadcast(out), "docid")
+            .select(
+                F.col("ext_id").cast("long").alias("doc_id"),
+                F.col("score").cast("long").alias("impact"),
+            )
+            .orderBy(F.desc("impact"), F.asc("doc_id"))
+        )
+
+    return fn
+
+
+def impact_fresh_topk_sql(query: str, k: int = K, base_frac: float = IMPACT_FRESH_BASE_FRAC) -> str:
+    """DuckDB oracle for fresh impact serving: same derive → quantize → Σ
+    pipeline as ``impact_topk_sql``, but the quantizer range is fitted ONLY
+    on the base slice (docid < floor(N·base_frac)) and then applied, clamped,
+    to every doc — exactly the frozen-range semantics of
+    ``append_vector_batch``."""
+    qterms = sorted(set(tokenize_py(query)))
+    terms_in = ", ".join(f"'{t}'" for t in qterms) or "''"
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (SELECT term, docid, count(*)::BIGINT AS tf FROM toks GROUP BY term, docid),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.term, tf.docid,
+         tf.tf * ((SELECT count(*) FROM documents) * 1.0 / dfs.df) AS score
+  FROM tf JOIN dfs USING (term)
+),
+cut AS (
+  SELECT CAST(floor(count(*) * {base_frac}) AS BIGINT) AS c FROM documents
+),
+rng AS (
+  SELECT min(score) AS lo, max(score) AS hi
+  FROM w CROSS JOIN cut WHERE score > 0 AND docid < cut.c
+),
+q AS (
+  SELECT term, docid,
+         CASE WHEN score <= 0 THEN 0
+              WHEN hi = lo THEN 1
+              ELSE least(255, greatest(1,
+                     CAST(round((score - lo) / (hi - lo) * 254) AS BIGINT) + 1))
+         END AS tfq
+  FROM w CROSS JOIN rng
+),
+scored AS (
+  SELECT docid, CAST(sum(tfq) AS BIGINT) AS impact
+  FROM q WHERE tfq > 0 AND term IN ({terms_in})
+  GROUP BY docid
+)
+SELECT docid AS doc_id, impact FROM scored
+ORDER BY impact DESC, docid ASC LIMIT {k}
+"""
 
 
 def impact_topk_sql(query: str, k: int = K) -> str:
@@ -139,4 +251,8 @@ QUERIES: dict[str, tuple] = {
         _impact_indexed(Q_MULTI, "exact"),
         impact_topk_sql(Q_MULTI),
     ),
+    # streaming freshness for the impact index: base (range-fitting) build +
+    # frozen-range vector segment, FreshSearcher Σ-impact vs the same-
+    # semantics whole-corpus oracle (fresh ≡ rebuild-with-frozen-range)
+    "impact_fresh_mix": (_impact_fresh(Q_MIX), impact_fresh_topk_sql(Q_MIX)),
 }

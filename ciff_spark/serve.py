@@ -336,19 +336,20 @@ class FreshSearcher(LocalSearcher):
         (substitutability — a caller written against the base class must not
         have its 4th positional land in ``round_decimals``): decode
         counters; exhaustive scoring decodes every block of the query lists,
-        so decoded == total here. ``scoring="impact"`` is not implemented
-        for fresh serving (segment stats are BM25-shaped) and raises rather
-        than silently scoring BM25 over an impact index.
-        ``round_decimals``: rank on rounded scores (docid tiebreak) — the
-        driver/oracle ordering contract; sound here because scoring is
-        exhaustive (no pruning threshold to guard)."""
+        so decoded == total here. ``scoring="impact"`` sums the stored
+        quantized impacts over base ∪ segments — simpler than BM25 fresh
+        serving since impact scores need no collection statistics at all (no
+        dl, no avgdl; df only exists inside the stored tf) — provided the
+        segments were appended with ``append_vector_batch``, which quantizes
+        with the base's frozen range. ``round_decimals``: rank on rounded
+        scores (docid tiebreak) — the driver/oracle ordering contract; sound
+        here because scoring is exhaustive (no pruning threshold to guard);
+        a no-op for impact (integer sums)."""
         from ciff_spark.functions.scoring import tfnorm_np
 
-        if scoring != "bm25":
-            raise NotImplementedError(
-                f"FreshSearcher serves BM25 only (got scoring={scoring!r}); "
-                "compact segments and serve impact indexes via LocalSearcher"
-            )
+        if scoring not in ("bm25", "impact"):
+            raise ValueError(f"unknown scoring {scoring!r}")
+        impact = scoring == "impact"
         terms = sorted(set(tokenize_py(query)))
         if not terms:
             return []
@@ -372,7 +373,7 @@ class FreshSearcher(LocalSearcher):
                 df += len(d)
             if df == 0:
                 continue
-            idf = float(idf_np(df, self.fresh_num_docs))
+            idf = 1.0 if impact else float(idf_np(df, self.fresh_num_docs))
             if t in base_lists:
                 blocks, prevs, bcache = base_lists[t]
                 if stats is not None:
@@ -394,11 +395,18 @@ class FreshSearcher(LocalSearcher):
                 d = np.concatenate(parts_d)
                 tf = np.concatenate(parts_tf)
                 acc_d.append(d)
-                acc_c.append(idf * tfnorm_np(tf, self.dl[d], self.fresh_avgdl))
+                acc_c.append(
+                    tf.astype(np.float64)
+                    if impact
+                    else idf * tfnorm_np(tf, self.dl[d], self.fresh_avgdl)
+                )
             for d, tf in seg_decoded:
-                dls = self._seg_dl_arr(d)
                 acc_d.append(d)
-                acc_c.append(idf * tfnorm_np(tf, dls, self.fresh_avgdl))
+                acc_c.append(
+                    tf.astype(np.float64)
+                    if impact
+                    else idf * tfnorm_np(tf, self._seg_dl_arr(d), self.fresh_avgdl)
+                )
         if not acc_d:
             return []
         alld = np.concatenate(acc_d)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ciff_spark.functions.codec import encode_many
-from ciff_spark.store import META_SCHEMA, IndexStore
+from ciff_spark.store import IndexStore
 
 JSONL_SCHEMA = T.StructType(
     [
@@ -65,32 +65,50 @@ def read_doc_vectors(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def quantize_scores(df: DataFrame, quantize: bool) -> DataFrame:
+def score_range(df: DataFrame) -> tuple[float | None, float | None]:
+    """The quantizer's positive-score (min, max) range pass
+    (/root/reference/src/lib.rs:922-957) — driver-side scalars so the fitted
+    range can be frozen into meta and reused by streaming appends."""
+    row = df.where(F.col("score") > 0).agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    return (None if lo is None else float(lo), None if hi is None else float(hi))
+
+
+def quantize_scores(
+    df: DataFrame,
+    quantize: bool,
+    range_: tuple[float | None, float | None] | None = None,
+) -> DataFrame:
     """score → integer tf per the reference: plain int truncation, or 8-bit
-    min-max over positive scores; tf ≤ 0 rows dropped either way."""
+    min-max over positive scores; tf ≤ 0 rows dropped either way.
+
+    ``range_``: a previously fitted (lo, hi) — streaming appends quantize
+    with the BASE index's frozen range (the clamp absorbs out-of-range new
+    scores) so impacts stay comparable across base and segments. ``None``
+    fits the range on ``df`` itself (the batch-build path)."""
     if not quantize:
         return df.withColumn("tf", F.col("score").cast("long")).where(F.col("tf") > 0)
-    rng = df.where(F.col("score") > 0).agg(
-        F.min("score").alias("lo"), F.max("score").alias("hi")
-    )
+    lo, hi = score_range(df) if range_ is None else range_
+    if lo is None:  # no positive scores anywhere: everything quantizes to 0
+        return df.withColumn("tf", F.lit(0).cast("long")).where(F.col("tf") > 0)
     return (
-        df.crossJoin(F.broadcast(rng))
-        .withColumn(
+        df.withColumn(
             "tf",
             F.when(F.col("score") <= 0, F.lit(0))
-            .when(F.col("hi") == F.col("lo"), F.lit(1))
+            .when(F.lit(hi) == F.lit(lo), F.lit(1))
             .otherwise(
                 F.least(
                     F.lit(255),
                     F.greatest(
                         F.lit(1),
-                        (F.round((F.col("score") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 254) + 1).cast("long"),
+                        (F.round((F.col("score") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * 254) + 1).cast("long"),
                     ),
                 )
             ),
         )
         .where(F.col("tf") > 0)
-        .drop("lo", "hi")
     )
 
 
@@ -158,8 +176,10 @@ def _build_from_idmap(
     spark, store, raw, idmap, source_desc, quantize, doclength_mode,
     n_shards, n_pgroups, block_size,
 ):
-
-    rows = quantize_scores(raw, quantize)
+    # fit the quantizer range driver-side so it can be frozen into meta —
+    # streaming appends (append_vector_batch) must reuse it, not re-fit
+    qrange = score_range(raw) if quantize else (None, None)
+    rows = quantize_scores(raw, quantize, range_=qrange if quantize else None)
 
     # cached: consumed by BOTH the doclength aggregation and the encode —
     # uncached, the whole upstream (quantize range pass + id join + tf agg)
@@ -173,7 +193,7 @@ def _build_from_idmap(
     try:
         return _finish_build(
             spark, store, tf, idmap, source_desc, quantize, doclength_mode,
-            n_shards, n_pgroups, block_size,
+            n_shards, n_pgroups, block_size, qrange,
         )
     finally:
         tf.unpersist()
@@ -181,7 +201,7 @@ def _build_from_idmap(
 
 def _finish_build(
     spark, store, tf, idmap, source_desc, quantize, doclength_mode,
-    n_shards, n_pgroups, block_size,
+    n_shards, n_pgroups, block_size, qrange=(None, None),
 ):
     if doclength_mode == "unique_terms":  # the reference quirk (lib.rs:1042)
         dlen = tf.groupBy("docid").agg(F.count("*").alias("doclength"))
@@ -197,7 +217,7 @@ def _finish_build(
     try:
         return _write_tables(
             spark, store, tf, docs, source_desc, quantize, doclength_mode,
-            n_shards, n_pgroups, block_size,
+            n_shards, n_pgroups, block_size, qrange,
         )
     finally:
         docs.unpersist()
@@ -205,7 +225,7 @@ def _finish_build(
 
 def _write_tables(
     spark, store, tf, docs, source_desc, quantize, doclength_mode,
-    n_shards, n_pgroups, block_size,
+    n_shards, n_pgroups, block_size, qrange=(None, None),
 ):
     store.write("docs", docs)
 
@@ -272,13 +292,10 @@ def _write_tables(
         _papq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(store.path("term_stats") + "/*.parquet")
     )
-    store.write(
-        "meta",
-        spark.createDataFrame(
-            [(num_docs, num_terms, total_terms, avgdl, shard_size, block_size,
-              f"{source_desc} (quantize={quantize}, doclength={doclength_mode})",
-              avgdl, n_pgroups)],
-            META_SCHEMA,
-        ),
+    store.write_meta_local(
+        num_docs, num_terms, total_terms, avgdl, shard_size, block_size,
+        f"{source_desc} (quantize={quantize}, doclength={doclength_mode})",
+        bounds_avgdl=avgdl, n_pgroups=n_pgroups,
+        q_lo=qrange[0], q_hi=qrange[1],
     )
     return store

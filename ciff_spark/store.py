@@ -64,7 +64,12 @@ META_SCHEMA = (
     # max(1, avgdl / bounds_avgdl) at query time (sup of the per-doc ratio).
     # n_pgroups: the term-hash modulus of the postings layout — compaction
     # must route appended rows to the same pgroup dirs serving prunes on.
-    "bounds_avgdl double, n_pgroups int"
+    # q_lo/q_hi: for quantized (impact) indexes, the min-max range the 8-bit
+    # ScoreQuantizer was fitted on at base-build time (NULL otherwise).
+    # Streaming appends MUST quantize new scores with this frozen range
+    # (clamped) — re-fitting per batch would make stored impacts incomparable
+    # across segments.
+    "bounds_avgdl double, n_pgroups int, q_lo double, q_hi double"
 )
 
 
@@ -131,6 +136,7 @@ class IndexStore:
         self, num_docs: int, num_terms: int, total_terms: int, avgdl: float,
         shard_size: int, block_size: int, description: str,
         bounds_avgdl: float | None = None, n_pgroups: int | None = None,
+        q_lo: float | None = None, q_hi: float | None = None,
     ) -> None:
         """Write the single Header row driver-side (pyarrow, atomic rename,
         Spark-readable types per META_SCHEMA) — one row must not cost a job."""
@@ -152,6 +158,12 @@ class IndexStore:
                 ),
                 "n_pgroups": pa.array(
                     [None if n_pgroups is None else int(n_pgroups)], pa.int32()
+                ),
+                "q_lo": pa.array(
+                    [None if q_lo is None else float(q_lo)], pa.float64()
+                ),
+                "q_hi": pa.array(
+                    [None if q_hi is None else float(q_hi)], pa.float64()
                 ),
             }
         )

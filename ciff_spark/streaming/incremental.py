@@ -159,6 +159,74 @@ def append_batch(
         release_rank_cache(ranked)
 
 
+def append_vector_batch(
+    spark: SparkSession,
+    store: IndexStore,
+    batch_df: DataFrame,
+    batch_id: int,
+    block_size: int = 128,
+    n_encode_partitions: int = 4,
+) -> None:
+    """Index one micro-batch of ``(ext_id, pos, term, score)`` doc-vector
+    rows as a segment — the impact-index twin of :func:`append_batch`.
+
+    Scores quantize with the BASE index's FROZEN quantizer range (meta
+    ``q_lo``/``q_hi``, fitted at build time; the [1,255] clamp absorbs
+    out-of-range new scores), so stored impacts stay comparable across base
+    and segments — re-fitting per batch would silently rescale every new
+    batch. Indexes built without quantization (``q_lo`` NULL) truncate, like
+    their build did. Docids continue densely from the base; doclength =
+    unique kept terms (the jsonl build's reference-parity mode,
+    /root/reference/src/lib.rs:1029-1046); a doc whose every score is
+    dropped still occupies a docid with doclength 0. Same idempotent
+    commit protocol as :func:`append_batch` (module docstring)."""
+    from ciff_spark.sources.jsonl_vectors import quantize_scores
+
+    docs_dir = f"{store.path(SEG_DOCS)}/seg_{int(batch_id)}"
+    post_dir = f"{store.path(SEG_POSTINGS)}/seg_{int(batch_id)}"
+    if os.path.exists(f"{docs_dir}/_SUCCESS"):
+        return  # this batch already committed fully — retried delivery
+    shutil.rmtree(post_dir, ignore_errors=True)
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    if batch_df.isEmpty():
+        return
+    base = _next_docid(store)
+    meta = store.meta_local()
+    q_lo, q_hi = meta.get("q_lo"), meta.get("q_hi")
+    quantize = q_lo is not None
+
+    ids = batch_df.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
+    ranked = add_dense_docid(ids, ["first_pos", "ext_id"])
+    try:
+        idmap = ranked.select(
+            "ext_id", (F.col("docid") + F.lit(int(base))).alias("docid")
+        )
+        rows = quantize_scores(
+            batch_df, quantize, range_=(float(q_lo), float(q_hi)) if quantize else None
+        )
+        tf = (
+            rows.join(idmap, "ext_id")
+            .groupBy("term", "docid")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+            .where(F.col("tf") > 0)
+        ).persist()
+        try:
+            dlen = tf.groupBy("docid").agg(F.count("*").alias("doclength"))
+            docs = idmap.join(dlen, "docid", "left").select(
+                "docid",
+                "ext_id",
+                F.coalesce("doclength", F.lit(0)).cast("int").alias("doclength"),
+            )
+            _commit_segment_tables(
+                tf, docs, docs_dir, post_dir, batch_id, block_size,
+                n_encode_partitions,
+            )
+        finally:
+            tf.unpersist()
+    finally:
+        release_rank_cache(ranked)
+
+
 def _encode_and_commit_segment(
     toks: DataFrame,
     docs_dir: str,
@@ -173,6 +241,25 @@ def _encode_and_commit_segment(
         .groupBy("term", "docid")
         .agg(F.count("*").alias("tf"))
     )
+    docs = toks.select(
+        "docid", *id_cols, F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
+    )
+    _commit_segment_tables(
+        tf, docs, docs_dir, post_dir, batch_id, block_size, n_encode_partitions
+    )
+
+
+def _commit_segment_tables(
+    tf: DataFrame,
+    docs: DataFrame,
+    docs_dir: str,
+    post_dir: str,
+    batch_id: int,
+    block_size: int,
+    n_encode_partitions: int,
+) -> None:
+    """Encode skinny (term, docid, tf) rows into segment postings and commit
+    postings-then-docs (the docs ``_SUCCESS`` is the commit marker)."""
     bs = int(block_size)
 
     # segments always carry dl-FREE bounds: the collection avgdl keeps moving
@@ -204,10 +291,9 @@ def _encode_and_commit_segment(
         .withColumn("segment", F.lit(int(batch_id)))
     )
     seg.write.mode("overwrite").parquet(post_dir)
-    docs = toks.select(
-        "docid", *id_cols, F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
-    ).withColumn("segment", F.lit(int(batch_id)))
-    docs.write.mode("overwrite").parquet(docs_dir)  # commit marker — LAST
+    docs.withColumn("segment", F.lit(int(batch_id))).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)  # commit marker — LAST
 
 
 def start_incremental_index(

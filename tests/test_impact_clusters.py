@@ -166,3 +166,62 @@ def test_impact_index_exports_to_pisa_and_ciff(spark, tmp_path):
     assert header.num_docs == 3
     assert [p.term for p in pls] == terms
     assert [r.doclength for r in recs] == [2, 2, 2]
+
+
+def test_impact_fresh_frozen_range_and_idempotent_append(spark, tmp_path):
+    """Fresh impact serving: base build fits the quantizer range; a streamed
+    vector segment quantizes with that FROZEN range (out-of-range scores
+    clamp to 1/255); FreshSearcher Σ-impact over base ∪ segment matches a
+    numpy oracle of exactly those semantics; a retried append is a no-op."""
+    import os
+
+    from ciff_spark.serve import FreshSearcher
+    from ciff_spark.store import IndexStore
+    from ciff_spark.streaming.incremental import append_vector_batch
+
+    # base: docs 0..3 with scores in [1, 9]; segment: docs 4..5, one score
+    # above the base hi (20 → clamps to 255) and one below lo (0.5 → 1)
+    base_rows = [
+        ("0", 0, "a", 1.0), ("0", 0, "b", 5.0),
+        ("1", 1, "a", 9.0),
+        ("2", 2, "b", 3.0), ("2", 2, "c", 7.0),
+        ("3", 3, "c", 2.0),
+    ]
+    seg_rows = [
+        ("4", 4, "a", 20.0), ("4", 4, "b", 0.5),
+        ("5", 5, "b", 9.0), ("5", 5, "zonly", 4.0),
+    ]
+    cols = ["ext_id", "pos", "term", "score"]
+    root = str(tmp_path / "impf")
+    build_index_from_vector_rows(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows, columns=cols)),
+        root, quantize=True, n_shards=2, n_pgroups=2, block_size=4,
+    )
+    store = IndexStore(root)
+    meta = store.meta_local()
+    assert meta["q_lo"] == 1.0 and meta["q_hi"] == 9.0
+    seg_df = spark.createDataFrame(pd.DataFrame(seg_rows, columns=cols))
+    append_vector_batch(spark, store, seg_df, 0)
+    marker = f"{root}/seg_docs/seg_0/_SUCCESS"
+    mtime = os.path.getmtime(marker)
+    append_vector_batch(spark, store, seg_df, 0)  # retried delivery: no-op
+    assert os.path.getmtime(marker) == mtime
+
+    # numpy oracle with the frozen base range
+    lo, hi = 1.0, 9.0
+    def tfq(s):
+        return int(np.clip(np.floor((s - lo) / (hi - lo) * 254 + 0.5) + 1, 1, 255))
+    exp = {}
+    for ext, _pos, term, score in base_rows + seg_rows:
+        if term in ("a", "b"):
+            exp[int(ext)] = exp.get(int(ext), 0) + tfq(score)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (d, int(s)) for d, s in FreshSearcher(root).search("a b", k=10, scoring="impact")
+    ]
+    assert got == want
+    assert tfq(20.0) == 255 and tfq(0.5) == 1  # the clamp actually engaged
+
+    # a term that exists ONLY in the segment is servable
+    z = FreshSearcher(root).search("zonly", k=3, scoring="impact")
+    assert [(d, int(s)) for d, s in z] == [(5, tfq(4.0))]
