@@ -398,7 +398,11 @@ SELECT d1, d2, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
 # Duplicate clusters: connected components over verified LSH pair edges
 # ---------------------------------------------------------------------------
 
-_CC_MAX_ITERS = 50
+#: min-label rounds before escalating to the O(log n) star algorithm —
+#: near-dup components are near-cliques (converge in a handful of rounds);
+#: anything still moving after this many rounds is a deep structure where
+#: per-round-one-hop propagation is the wrong tool
+_CC_MAX_ITERS = 16
 
 
 def dedup_clusters(
@@ -473,11 +477,99 @@ def connected_components(
             labels = stepped.drop("_chg")
             if changed == 0:
                 return labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds"
-        )
+        # still moving after max_iters one-hop rounds: the graph has a deep
+        # component (rounds = eccentricity for min-label). Escalate to the
+        # diameter-independent star algorithm rather than failing — same
+        # fixpoint, O(log n) rounds.
+        return connected_components_star(docs, pairs)
     finally:
         edges.unpersist()
+
+
+def connected_components_star(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    adversarial-diameter path: O(log n) rounds regardless of component shape,
+    where min-label propagation needs rounds = eccentricity of the component
+    minimum (a 10k-doc duplicate CHAIN would need 10k one-hop rounds).
+
+    Per round, two groupBy-min aggregations + equi-joins over the current
+    edge set, each a map-side-combinable shuffle on node id:
+
+    - large-star: every node hangs its strictly-LARGER neighbors on the
+      minimum of its closed neighborhood;
+    - small-star: every node re-hangs its ≤-neighbors (and itself) on that
+      minimum.
+
+    The edge set monotonically approaches the fixpoint where every component
+    is a star centered at its minimum node; convergence is detected by a
+    (count, XOR of xxhash64) signature of consecutive edge sets (identical
+    sets ⇒ equal signature; the sets are distinct-deduped so XOR can't
+    cancel duplicates, and a pre-fixpoint collision needs a 64-bit hash
+    coincidence; XOR, not Σ, because ANSI mode makes a long hash sum
+    overflow-fatal). Output contract identical to :func:`connected_components`:
+    (docid, cluster = min docid of the component) for every doc in ``docs``.
+    ``stats["rounds"]`` reports the round count when a dict is passed."""
+    edges = (
+        pairs.selectExpr("d1 AS u", "d2 AS v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig_prev = None
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # -- large-star ---------------------------------------------------
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("nmn"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            # emit (v, min(closed nbhd of u)); v > u ≥ min ⇒ never a loop
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("nmn")).alias("v"),
+            )
+            .distinct()
+        )
+        # -- small-star (inputs already oriented big→small by large-star) --
+        mins2 = large.groupBy("u").agg(F.min("v").alias("nmn"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("nmn").alias("b"))
+            .unionAll(mins2.select(F.col("u").alias("a"), F.col("nmn").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        row = small.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (int(row["n"]), int(row["h"] or 0))
+        edges = small
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edges are star edges (node → its component minimum)
+    return docs.select("docid").join(
+        edges.select(F.col("u").alias("docid"), F.col("v").alias("cluster")),
+        "docid",
+        "left",
+    ).select("docid", F.coalesce("cluster", F.col("docid")).alias("cluster"))
 
 
 # Oracle: same edge set (the pairs SQL verbatim), min reachable id per node

@@ -225,3 +225,64 @@ def test_impact_fresh_frozen_range_and_idempotent_append(spark, tmp_path):
     # a term that exists ONLY in the segment is servable
     z = FreshSearcher(root).search("zonly", k=3, scoring="impact")
     assert [(d, int(s)) for d, s in z] == [(5, tfq(4.0))]
+
+
+def test_cc_star_agrees_with_label_on_random_graphs(spark):
+    """Property: large-star/small-star CC ≡ min-label CC (which ≡ a Python
+    union-find) on seeded random graphs of varying density."""
+    import random
+
+    from ciff_spark.operators.dedup import connected_components_star
+
+    for seed, n, m in [(1, 30, 15), (2, 40, 60), (3, 25, 5), (4, 50, 120)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # python union-find oracle
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n)}
+
+        docs = spark.createDataFrame([(i,) for i in range(n)], "docid long")
+        pairs = spark.createDataFrame(edges or [(0, 0)], "d1 long, d2 long")
+        out = connected_components_star(docs, pairs).toPandas()
+        got = dict(zip(out["docid"].astype(int), out["cluster"].astype(int)))
+        assert got == want, f"seed {seed}: star CC != union-find"
+
+
+def test_cc_star_deep_chain_logarithmic_rounds(spark):
+    """A 10k-node chain: min-label would need 10k one-hop rounds (its cap is
+    16 before escalation); the star algorithm must finish in ≲ 15."""
+    from ciff_spark.operators.dedup import connected_components_star
+
+    n = 10_000
+    docs = spark.range(n).selectExpr("id AS docid")
+    pairs = spark.range(n - 1).selectExpr("id AS d1", "id + 1 AS d2")
+    stats = {}
+    out = connected_components_star(docs, pairs, stats=stats)
+    agg = out.selectExpr(
+        "count(*) AS n", "sum(cluster) AS s", "max(cluster) AS mx"
+    ).first()
+    assert (int(agg["n"]), int(agg["s"]), int(agg["mx"])) == (n, 0, 0)
+    assert stats["rounds"] <= 15, f"took {stats['rounds']} rounds"
+
+
+def test_cc_label_escalates_to_star(spark):
+    """connected_components on a chain deeper than its round cap must
+    escalate to the star algorithm and still return the right clusters."""
+    n = 60  # diameter 59 > the 16-round label cap
+    docs = spark.range(n).selectExpr("id AS docid")
+    pairs = spark.range(n - 1).selectExpr("id AS d1", "id + 1 AS d2")
+    out = connected_components(docs, pairs).toPandas()
+    assert set(out["cluster"].astype(int)) == {0}
+    assert len(out) == n
