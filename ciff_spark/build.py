@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, encode_arrow_batch
+from ciff_spark.functions.codec import BLOCK_SCHEMA, BLOCK_SIZE, BLOCK_SPAN, encode_arrow_batch
 from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_pandas_udf
 from ciff_spark.plans.rank import (
     NotDenseWithinGroups,
@@ -61,6 +61,11 @@ class BuildConfig:
     shard_size: int | None = None  # override: docids per shard
     min_shard_size: int = 1     # floor so tiny corpora don't over-shard
     block_size: int = BLOCK_SIZE
+    block_span: int | None = BLOCK_SPAN  # docid-width cap per block (variable
+        # blocks à la Mallia et al. SIGIR'17): sparse lists split into narrow
+        # blocks with REAL coverage gaps (block min_docid), which is what
+        # lets Block-Max WAND skip on selective queries; None = count-only
+        # blocks (pre-r4 geometry, still readable)
     n_pgroups: int = 32         # term-hash output partitions (resume granularity)
     pgroup_batches: int = 1     # checkpoint batches (1 = single job, fastest)
     tokenizer: str = "builtin"  # "builtin" (JVM regex) | "pandas" (Arrow UDF)
@@ -319,6 +324,7 @@ def build_index(
         if todo:
             _clean_partial_pgroups(store, todo)
             block_size = cfg.block_size
+            block_span = cfg.block_span
             avgdl_c = avgdl
             n_pgroups = cfg.n_pgroups
             shard_size_c = shard_size
@@ -395,6 +401,7 @@ def build_index(
                     block_size,
                     term_codes=codes[starts],
                     term_dict=vocab,
+                    block_span=block_span,
                 )
 
             n_batches = max(1, min(cfg.pgroup_batches, len(todo)))

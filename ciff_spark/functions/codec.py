@@ -8,13 +8,22 @@ blocks, per the Block-Max WAND design (Ding & Suel, SIGIR 2011) that the
 north-rule mandates:
 
 - postings (sorted by docid ascending, docids unique within a list) are split
-  into blocks of ``BLOCK_SIZE``;
+  into blocks of ``BLOCK_SIZE``, additionally capped at ``block_span`` docids
+  of width (variable-sized blocks in the spirit of Mallia et al., "Faster
+  BlockMax WAND with Variable-sized Blocks", SIGIR 2017): a SPARSE list's
+  128-posting block would otherwise cover an entire docid shard, making its
+  block-max bound apply everywhere and leaving WAND nothing to skip. Width
+  capping is window-ALIGNED (break when ``docid // block_span`` changes) so
+  block geometry is a pure function of the postings — independent of how
+  rows were batched into encoder calls;
 - block ``i`` stores docid gaps where the first gap is relative to block
   ``i-1``'s ``max_docid`` (−1 before the first block), so a block can be
   decoded knowing only the per-block metadata — enabling block skipping;
-- per block we keep ``max_docid`` (skip pointer), ``max_tf``, and
-  ``max_tfnorm`` (the exact per-block BM25 tf-normalization upper bound,
-  computed from true doc lengths at build time) for WAND pruning;
+- per block we keep ``min_docid``/``max_docid`` (the TRUE covered range —
+  ``min_docid`` exposes the coverage gaps between a sparse list's blocks,
+  which is where the pruning win lives), ``max_tf``, and ``max_tfnorm``
+  (the exact per-block BM25 tf-normalization upper bound, computed from
+  true doc lengths at build time) for WAND pruning;
 - all integers are LEB128 varints, encoded/decoded with vectorized NumPy —
   no per-value Python in the hot path.
 
@@ -29,12 +38,39 @@ import numpy as np
 from ciff_spark.functions.scoring import tfnorm_np, tfnorm_upper_bound
 
 BLOCK_SIZE = 128
+#: docid-width cap per block (None = unbounded, pre-r4 geometry). 256 = 2×
+#: BLOCK_SIZE: never binds on dense lists (128 postings of a dense list span
+#: ~130 docids) while splitting sparse lists into narrow blocks with real
+#: gaps between them.
+BLOCK_SPAN = 256
 
 #: Spark SQL type of one encoded block (postings tables store array<BLOCK_TYPE>).
+#: min_docid is nullable for indexes written before width-capped blocks; the
+#: kernel falls back to the conservative prev_max+1 coverage then.
 BLOCK_SCHEMA = (
-    "struct<count:int,max_docid:bigint,max_tf:int,max_tfnorm:double,"
-    "docs_bin:binary,tfs_bin:binary>"
+    "struct<count:int,min_docid:bigint,max_docid:bigint,max_tf:int,"
+    "max_tfnorm:double,docs_bin:binary,tfs_bin:binary>"
 )
+
+
+def _window_block_starts(
+    docids: np.ndarray,
+    new_grp: np.ndarray,
+    block_size: int,
+    block_span: int | None,
+) -> np.ndarray:
+    """Indices where a new block begins: at every group start, every
+    ``block_span``-aligned docid window change, and every ``block_size``-th
+    posting within a (group, window) run. Fully vectorized."""
+    n = len(docids)
+    new_win = new_grp.copy()
+    if block_span:
+        w = docids // int(block_span)
+        new_win[1:] |= w[1:] != w[:-1]
+    win_start = np.flatnonzero(new_win)
+    win_id = np.cumsum(new_win) - 1
+    local = np.arange(n) - win_start[win_id]
+    return np.flatnonzero((local % block_size == 0) | new_win)
 
 
 # ---------------------------------------------------------------------------
@@ -99,12 +135,15 @@ def encode_postings(
     doclens: np.ndarray | None = None,
     avgdl: float | None = None,
     block_size: int = BLOCK_SIZE,
+    block_span: int | None = BLOCK_SPAN,
 ) -> list[dict]:
     """Encode one posting list (docids strictly ascending, tfs > 0) into blocks.
 
     ``doclens``/``avgdl`` (when supplied) make ``max_tfnorm`` the *exact*
     per-block BM25 tf-bound; otherwise it falls back to the dl-free upper
-    bound — still a true bound, just looser for pruning.
+    bound — still a true bound, just looser for pruning. ``block_span`` caps
+    each block's docid width (see module docstring); ``None`` restores the
+    count-only pre-r4 geometry.
     """
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -116,12 +155,15 @@ def encode_postings(
     if (tfs <= 0).any():
         raise ValueError("tfs must be positive")
 
-    # gaps: first value of each block is relative to the previous block's max
+    # gaps: the first value of each block decodes relative to the previous
+    # block's max_docid (−1 before the first), which for consecutive blocks
+    # is simply the plain diff
     gaps = np.empty(n, np.int64)
     gaps[0] = docids[0] + 1  # relative to virtual prev_max = -1
     gaps[1:] = np.diff(docids)
-    block_starts = np.arange(0, n, block_size)
-    gaps[block_starts[1:]] = docids[block_starts[1:]] - docids[block_starts[1:] - 1]
+    one_grp = np.zeros(n, bool)
+    one_grp[0] = True
+    block_starts = _window_block_starts(docids, one_grp, block_size, block_span)
 
     doc_buf, doc_lens = varint_encode(gaps.astype(np.uint64))
     tf_buf, tf_lens = varint_encode(tfs.astype(np.uint64))
@@ -133,9 +175,9 @@ def encode_postings(
     else:
         tfnorms = None
 
+    ends = np.append(block_starts[1:], n)
     blocks = []
-    for s in block_starts:
-        e = min(s + block_size, n)
+    for s, e in zip(block_starts, ends):
         if tfnorms is not None:
             max_tfnorm = float(tfnorms[s:e].max())
         else:
@@ -143,6 +185,7 @@ def encode_postings(
         blocks.append(
             {
                 "count": int(e - s),
+                "min_docid": int(docids[s]),
                 "max_docid": int(docids[e - 1]),
                 "max_tf": int(tfs[s:e].max()),
                 "max_tfnorm": max_tfnorm,
@@ -161,6 +204,7 @@ def encode_many(
     doclens: np.ndarray | None,
     avgdl: float,
     block_size: int = BLOCK_SIZE,
+    block_span: int | None = BLOCK_SPAN,
 ):
     """Encode MANY posting lists at once — the whole-partition fast path.
 
@@ -198,14 +242,14 @@ def encode_many(
     if (tfs <= 0).any():
         raise ValueError("tfs must be positive")
 
-    local = np.arange(n) - grp_start[grp_id]
-    blk_start = np.flatnonzero(local % block_size == 0)
+    blk_start = _window_block_starts(docids, new_grp, block_size, block_span)
     blk_end = np.empty(len(blk_start), np.int64)
     blk_end[:-1] = blk_start[1:]
     blk_end[-1] = n
     blk_grp = grp_id[blk_start]
 
     counts = blk_end - blk_start
+    min_docid = docids[blk_start]
     max_docid = docids[blk_end - 1]
     max_tf = np.maximum.reduceat(tfs, blk_start)
     if doclens is not None:
@@ -234,6 +278,7 @@ def encode_many(
         blocks = [
             {
                 "count": int(counts[b]),
+                "min_docid": int(min_docid[b]),
                 "max_docid": int(max_docid[b]),
                 "max_tf": int(max_tf[b]),
                 "max_tfnorm": float(max_tfn[b]),
@@ -259,6 +304,7 @@ def encode_arrow_batch(
     block_size: int = BLOCK_SIZE,
     term_codes: np.ndarray | None = None,
     term_dict=None,
+    block_span: int | None = BLOCK_SPAN,
 ):
     """Arrow-native multi-group encoder: same output as ``encode_many`` but
     with ZERO per-group Python objects. Terms stay an Arrow string array
@@ -302,8 +348,7 @@ def encode_arrow_batch(
     if (tfs <= 0).any():
         raise ValueError("tfs must be positive")
 
-    local = np.arange(n) - grp_start[grp_id]
-    blk_start = np.flatnonzero(local % block_size == 0)
+    blk_start = _window_block_starts(docids, new_grp, block_size, block_span)
     blk_end = np.empty(len(blk_start), np.int64)
     blk_end[:-1] = blk_start[1:]
     blk_end[-1] = n
@@ -311,6 +356,7 @@ def encode_arrow_batch(
     nb = len(blk_start)
 
     counts = (blk_end - blk_start).astype(np.int32)
+    min_docid = docids[blk_start]
     max_docid = docids[blk_end - 1]
     max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
     if doclens is not None:
@@ -345,13 +391,14 @@ def encode_arrow_batch(
     block_struct = pa.StructArray.from_arrays(
         [
             pa.array(counts, pa.int32()),
+            pa.array(min_docid, pa.int64()),
             pa.array(max_docid, pa.int64()),
             pa.array(max_tf, pa.int32()),
             pa.array(max_tfn, pa.float64()),
             docs_bin,
             tfs_bin,
         ],
-        ["count", "max_docid", "max_tf", "max_tfnorm", "docs_bin", "tfs_bin"],
+        ["count", "min_docid", "max_docid", "max_tf", "max_tfnorm", "docs_bin", "tfs_bin"],
     )
     b0 = np.searchsorted(blk_grp, np.arange(g))
     list_offsets = np.append(b0, nb).astype(np.int32)

@@ -117,6 +117,16 @@ def wand_topk(
         lo = np.empty_like(hi)
         lo[0] = 0
         lo[1:] = hi[:-1] + 1
+        # true block coverage: min_docid (width-capped blocks) exposes the
+        # docid GAPS between a sparse list's blocks — intervals in a gap get
+        # no bound contribution from this list at all, which is where the
+        # pruning win on selective queries comes from. Indexes written before
+        # the field fall back to the conservative prev_max+1 coverage.
+        mins = np.array(
+            [b.get("min_docid") if b.get("min_docid") is not None else -1 for b in blocks],
+            np.int64,
+        )
+        lo = np.where(mins >= 0, np.maximum(lo, mins), lo)
         mtf = np.array(
             [b["max_tf"] if impact else b["max_tfnorm"] for b in blocks],
             np.float64,
@@ -188,10 +198,32 @@ def wand_topk(
         np.add.at(scores, inv, allc)
         if round_decimals is not None:
             scores = np.round(scores, round_decimals)
-        for d_, s_ in zip(uniq.tolist(), scores.tolist()):
-            if len(heap) < k:
-                heapq.heappush(heap, (s_, -d_))
-            elif (s_, -d_) > heap[0]:
+        # vectorized heap admission: dense intervals (nothing pruned) used to
+        # walk EVERY candidate through a Python heap op — instead, seed a
+        # non-full heap with the interval's best (k - len) via one lexsort,
+        # then mask the rest against the current θ (a superset of survivors:
+        # θ only rises while inserting), leaving Python work ∝ admissions
+        di, si = uniq, scores
+        if len(heap) < k:
+            need = k - len(heap)
+            if len(di) > need:
+                sel = np.lexsort((di, -si))
+                for idx in sel[:need]:
+                    heapq.heappush(heap, (float(si[idx]), -int(di[idx])))
+                rest = sel[need:]
+                di, si = di[rest], si[rest]
+            else:
+                for d_, s_ in zip(di.tolist(), si.tolist()):
+                    heapq.heappush(heap, (s_, -d_))
+                di = si = ()
+        if len(heap) >= k and len(di):
+            t0, nd0 = heap[0]
+            # a candidate survives iff (s, -d) > (t0, nd0): strictly better
+            # score, or equal score with SMALLER docid (-d > nd0)
+            m = (si > t0) | ((si == t0) & (-di > nd0))
+            di, si = di[m], si[m]
+        for d_, s_ in zip(np.asarray(di).tolist(), np.asarray(si).tolist()):
+            if (s_, -d_) > heap[0]:
                 heapq.heapreplace(heap, (s_, -d_))
 
     out = sorted(((s_, -d_) for s_, d_ in heap), key=lambda x: (-x[0], x[1]))

@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 
 from ciff_spark.functions.codec import (
     BLOCK_SIZE,
+    BLOCK_SPAN,
     decode_block,
     decode_postings,
     encode_postings,
@@ -84,12 +85,19 @@ def test_block_max_tfnorm_is_true_upper_bound():
     doclens = rng.integers(5, 400, n)
     avgdl = 87.3
     blocks = encode_postings(docids, tfs, doclens=doclens, avgdl=avgdl)
-    assert len(blocks) == int(np.ceil(n / BLOCK_SIZE))
     tfn = tfnorm_np(tfs, doclens, avgdl)
-    for i, b in enumerate(blocks):
-        s, e = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+    s = 0
+    for b in blocks:
+        e = s + b["count"]
         assert b["max_tfnorm"] >= tfn[s:e].max() - 1e-12
         assert b["max_tfnorm"] == pytest.approx(tfn[s:e].max())
+        assert b["count"] <= BLOCK_SIZE
+        assert b["min_docid"] == docids[s] and b["max_docid"] == docids[e - 1]
+        # width cap is window-aligned: a block never straddles a BLOCK_SPAN
+        # boundary (geometry must be independent of encoder batching)
+        assert b["min_docid"] // BLOCK_SPAN == b["max_docid"] // BLOCK_SPAN
+        s = e
+    assert s == n
 
 
 def test_encode_rejects_bad_input():

@@ -71,3 +71,17 @@ def test_local_search_latency(served):
     per = (time.time() - t0) / n
     # no Spark job in the loop: must be interactive-grade
     assert per < 0.25, f"{per * 1000:.1f} ms per query"
+
+
+def test_wand_serving_matches_exhaustive_engine(served):
+    """Cross-engine rank identity on the SAME index artifact: LocalSearcher
+    (Block-Max WAND kernel, prunes) vs FreshSearcher with no segments (the
+    exhaustive scorer, decodes everything). Exact tuple equality including
+    raw float scores and k-th-place docid tie-breaks — the A/B that caught
+    the r4 inverted tie mask in the vectorized heap admission."""
+    from ciff_spark.serve import FreshSearcher
+
+    searcher, _ = served
+    fresh = FreshSearcher(searcher.root)
+    for q in QUERIES + ["w000000 w000001 w000002", "w000010 w000200"]:
+        assert searcher.search(q, k=7) == fresh.search(q, k=7), q

@@ -99,3 +99,23 @@ def test_wand_exact_tie_break_by_docid():
     gd, gs = wand_topk([(idf, blocks)], dl, 0, 10.0, 2)
     assert gd.tolist() == [3, 7]  # 3 and 7 tie; both beat 9; order by docid
     assert gs[0] == gs[1]
+
+
+def test_wand_kth_place_tie_across_intervals_prefers_smaller_docid():
+    """Regression: equal-score candidates arriving AFTER the heap is full
+    (from a lower-bound interval processed later) must replace equal-score
+    higher-docid incumbents — the r4 vectorized heap admission initially
+    filtered these out with an inverted docid comparison, which only a
+    k-th-place tie spanning two intervals exposes."""
+    # block A: docids 0..9, tf=1 (low bound). block B: docids 100..109 with
+    # one tf=2 doc (high bound) — processed FIRST, so its tf=1 docs seed the
+    # heap before block A's smaller-docid ties arrive.
+    docids = np.concatenate([np.arange(10), np.arange(100, 110)])
+    tfs = np.ones(20, np.int64)
+    tfs[15] = 2
+    blocks = encode_postings(docids, tfs, block_size=10, block_span=None)
+    assert len(blocks) == 2
+    dl = np.ones(200, np.uint32)
+    d, s = wand_topk([(1.0, blocks)], dl, 0, 1.0, 5, scoring="impact")
+    assert d.tolist() == [105, 0, 1, 2, 3]  # tf2 doc, then smallest docids
+    assert s.tolist() == [2.0, 1.0, 1.0, 1.0, 1.0]
