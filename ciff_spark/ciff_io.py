@@ -340,23 +340,76 @@ def write_ciff(
 # index <-> CIFF bridges
 # ---------------------------------------------------------------------------
 
+def _frame(buf: io.BytesIO, msg: bytes) -> None:
+    """Append one varint-length-delimited message to ``buf``."""
+    _write_varint(buf, len(msg))
+    buf.write(msg)
+
+
+def _concat_chunk_files(fobj, files: list[str], key_col: str) -> int:
+    """Stream ordered chunk payloads into ``fobj``; returns Σ n_msgs.
+
+    Range partitioning makes every file's key range disjoint, so ordering
+    FILES by their first key and keeping row order within a file yields the
+    global message order. Payloads stream row-group-at-a-time (pyarrow
+    ``iter_batches``) — driver memory is bounded by one row group, never the
+    index."""
+    import pyarrow.parquet as papq
+
+    keyed = []
+    total = 0
+    for f in files:
+        t = papq.read_table(f, columns=[key_col, "n_msgs"])
+        if t.num_rows:
+            keyed.append((t[key_col][0].as_py(), f))
+            total += sum(v.as_py() for v in t["n_msgs"])
+    for _, f in sorted(keyed):
+        pf = papq.ParquetFile(f)
+        for batch in pf.iter_batches(columns=["payload"]):
+            for payload in batch["payload"]:
+                fobj.write(payload.as_py())
+    return total
+
+
 def export_index_to_ciff(
     spark,
     index_root: str,
     out_path: str,
     id_sep: str = "/",
     terms: list[str] | None = None,
+    chunk_bytes: int = 32 << 20,
+    n_parts: int | None = None,
 ) -> CiffHeader:
-    """Walk the distributed index into one CIFF file (terms lex-sorted,
-    per-term shards concatenated in shard order, docids re-gapped).
+    """Export the distributed index into one CIFF file (terms lex-sorted,
+    per-term shards concatenated in shard order, docids re-gapped) —
+    DISTRIBUTED: executors protobuf-encode varint-framed message chunks in
+    parallel (the reference's streaming single-pass writer,
+    /root/reference/src/lib.rs:639-678, made parallel), and the driver only
+    CONCATENATES the ordered chunks into the output file. Nothing index-sized
+    ever materializes on the driver — peak driver memory is one parquet row
+    group of framed bytes; peak executor memory is one term's decoded
+    postings plus the ~``chunk_bytes`` chunk under construction.
+
+    Plan shape: postings repartitionByRange(term) → sortWithinPartitions
+    (term, shard, first-block max_docid — compaction appends extra rows per
+    (term, shard) that must concatenate in ascending docid order) → one
+    mapInPandas pass frames whole PostingsLists into ≈``chunk_bytes`` chunks
+    (chunks break only at term boundaries, so range disjointness + the
+    in-partition sort give a total global order by each chunk's first term).
+    DocRecords stream the same way, keyed by docid.
 
     ``terms``: PARTIAL export — write only these posting lists while keeping
-    collection-global header statistics (``num_postings_lists`` < ``
-    total_postings_lists``, proto:16-21): the file carries just a query set's
-    lists yet any BM25 scorer reading it sees the full-collection N, avgdl
-    and vocabulary size. DocRecords are always exported in full (doclengths
-    are per-doc scorer state)."""
+    collection-global header statistics (``num_postings_lists`` <
+    ``total_postings_lists``, proto:16-21): the file carries just a query
+    set's lists yet any BM25 scorer reading it sees the full-collection N,
+    avgdl and vocabulary size. DocRecords are always exported in full
+    (doclengths are per-doc scorer state)."""
+    import glob as _glob
+    import shutil
+    import uuid
+
     import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from ciff_spark.functions.codec import decode_postings
@@ -364,54 +417,150 @@ def export_index_to_ciff(
 
     store = IndexStore(index_root)
     meta = store.meta(spark)
-    docs = store.read(spark, "docs").orderBy("docid").collect()
-    id_cols = [c for c in docs[0].asDict() if c not in ("docid", "doclength")] if docs else []
+    parts = n_parts or max(2, min(64, spark.sparkContext.defaultParallelism))
+    cb = int(chunk_bytes)
+    sep = id_sep
 
     post = store.read(spark, "postings")
     if terms is not None:
         # term-pruned scan: the partial export never decodes unrequested lists
         post = post.where(F.col("term").isin(sorted(set(terms))))
-    # third key: compaction appends extra rows per (term, shard); rows of a
-    # term must concatenate in ascending docid order
-    post_rows = post.orderBy("term", "shard", F.expr("blocks[0].max_docid")).collect()
-    pls: list[CiffPostingsList] = []
-    cur: CiffPostingsList | None = None
-    last_doc = 0
-    for r in post_rows:
-        if cur is None or r["term"] != cur.term:
-            cur = CiffPostingsList(term=r["term"])
-            pls.append(cur)
-            last_doc = 0
-        d, t = decode_postings([b.asDict() for b in r["blocks"]])
-        if len(d):
-            # first posting of a term: absolute docid (last_doc reset to 0);
-            # after that: gap to the previous posting (lib.rs:664-672)
-            gaps = np.diff(np.concatenate(([last_doc], d)))
-            cur.postings.extend(zip(gaps.tolist(), t.tolist()))
-            last_doc = int(d[-1])
-        cur.df += int(r["df"])
-        cur.cf += int(r["cf"])
+    rp = (
+        post.select("term", "shard", "df", "cf", "blocks")
+        .repartitionByRange(parts, "term")
+        .sortWithinPartitions("term", "shard", F.expr("blocks[0].max_docid"))
+    )
 
-    header = CiffHeader(
-        version=1,
-        num_postings_lists=len(pls),
-        num_docs=int(meta["num_docs"]),
-        total_postings_lists=int(meta["num_terms"]),
-        total_docs=int(meta["num_docs"]),
-        total_terms_in_collection=int(meta["total_terms"]),
-        average_doclength=float(meta["avgdl"]),
-        description=str(meta["description"]),
-    )
-    recs = (
-        CiffDocRecord(
-            docid=int(r["docid"]),
-            collection_docid=id_sep.join(str(r[c]) for c in id_cols),
-            doclength=int(r["doclength"]),
+    def enc_postings_chunks(iterator):
+        buf = io.BytesIO()
+        first_term: str | None = None
+        n_msgs = 0
+        # current term under assembly: decoded array parts + stats
+        cur_term: str | None = None
+        d_parts: list = []
+        t_parts: list = []
+        df = cf = 0
+
+        def flush_term():
+            nonlocal n_msgs, first_term, d_parts, t_parts, df, cf
+            if cur_term is None:
+                return
+            out = io.BytesIO()
+            _emit_field(out, 1, 2, cur_term.encode())
+            if df:
+                _emit_field(out, 2, 0, df)
+            if cf:
+                _emit_field(out, 3, 0, cf)
+            if d_parts:
+                d = np.concatenate(d_parts)
+                t = np.concatenate(t_parts)
+                # first posting absolute, later ones gaps (lib.rs:664-672)
+                gaps = np.diff(np.concatenate(([0], d)))
+                gaps[0] = d[0]
+                for gap, tf in zip(gaps.tolist(), t.tolist()):
+                    _emit_field(out, 4, 2, _enc_posting(gap, tf))
+            _frame(buf, out.getvalue())
+            if first_term is None:
+                first_term = cur_term
+            n_msgs += 1
+            d_parts, t_parts, df, cf = [], [], 0, 0
+
+        for pdf in iterator:
+            for r in pdf.itertuples(index=False):
+                if r.term != cur_term:
+                    flush_term()
+                    if buf.tell() >= cb:  # chunks break at term boundaries
+                        yield pd.DataFrame(
+                            [(first_term, n_msgs, buf.getvalue())],
+                            columns=["key", "n_msgs", "payload"],
+                        )
+                        buf = io.BytesIO()
+                        first_term, n_msgs = None, 0
+                    cur_term = r.term
+                d, t = decode_postings([dict(b) for b in r.blocks])
+                if len(d):
+                    d_parts.append(d)
+                    t_parts.append(t)
+                df += int(r.df)
+                cf += int(r.cf)
+        flush_term()
+        if buf.tell():
+            yield pd.DataFrame(
+                [(first_term, n_msgs, buf.getvalue())],
+                columns=["key", "n_msgs", "payload"],
+            )
+
+    docs_df = store.read(spark, "docs")
+    id_cols = [c for c in docs_df.columns if c not in ("docid", "doclength")]
+    docs_rp = docs_df.repartitionByRange(parts, "docid").sortWithinPartitions("docid")
+
+    def enc_doc_chunks(iterator):
+        buf = io.BytesIO()
+        first_docid = None
+        n_msgs = 0
+        for pdf in iterator:
+            for r in pdf.itertuples(index=False):
+                rec = CiffDocRecord(
+                    docid=int(r.docid),
+                    collection_docid=sep.join(str(getattr(r, c)) for c in id_cols),
+                    doclength=int(r.doclength),
+                )
+                _frame(buf, _enc_doc_record(rec))
+                if first_docid is None:
+                    first_docid = int(r.docid)
+                n_msgs += 1
+                if buf.tell() >= cb:
+                    yield pd.DataFrame(
+                        [(first_docid, n_msgs, buf.getvalue())],
+                        columns=["key", "n_msgs", "payload"],
+                    )
+                    buf = io.BytesIO()
+                    first_docid, n_msgs = None, 0
+        if buf.tell():
+            yield pd.DataFrame(
+                [(first_docid, n_msgs, buf.getvalue())],
+                columns=["key", "n_msgs", "payload"],
+            )
+
+    tmp = f"{out_path}.__chunks_{uuid.uuid4().hex[:8]}"
+    try:
+        rp.mapInPandas(
+            enc_postings_chunks, schema="key string, n_msgs long, payload binary"
+        ).write.mode("overwrite").parquet(f"{tmp}/postings")
+        docs_rp.mapInPandas(
+            enc_doc_chunks, schema="key bigint, n_msgs long, payload binary"
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+
+        import pyarrow.parquet as papq
+
+        pfiles = sorted(_glob.glob(f"{tmp}/postings/*.parquet"))
+        n_pls = sum(
+            sum(v.as_py() for v in papq.read_table(f, columns=["n_msgs"])["n_msgs"])
+            for f in pfiles
         )
-        for r in docs
-    )
-    write_ciff(out_path, header, pls, recs)
-    return header
+        header = CiffHeader(
+            version=1,
+            num_postings_lists=int(n_pls),
+            num_docs=int(meta["num_docs"]),
+            total_postings_lists=int(meta["num_terms"]),
+            total_docs=int(meta["num_docs"]),
+            total_terms_in_collection=int(meta["total_terms"]),
+            average_doclength=float(meta["avgdl"]),
+            description=str(meta["description"]),
+        )
+        with open(out_path, "wb") as f:
+            hdr = _enc_header(header)
+            lead = io.BytesIO()
+            _write_varint(lead, len(hdr))
+            f.write(lead.getvalue())
+            f.write(hdr)
+            _concat_chunk_files(f, pfiles, "key")
+            _concat_chunk_files(
+                f, sorted(_glob.glob(f"{tmp}/docs/*.parquet")), "key"
+            )
+        return header
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ciff_to_dataframes(spark, path: str):

@@ -154,3 +154,23 @@ def test_iter_ciff_streams_toy():
     assert kinds["header"] == [header]
     assert kinds["postings"] == pls
     assert kinds["doc"] == docs
+
+
+def test_export_chunking_is_byte_invariant(spark, tmp_path):
+    """The distributed export's output must be a pure function of the index:
+    forcing one-term chunks across many range partitions (chunk_bytes=1,
+    n_parts=7) has to produce byte-identical output to one big chunk —
+    proving the chunk ordering (file ranges disjoint, chunks break at term
+    boundaries) reconstructs the exact global message order."""
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.sources.transcripts import transcripts_df
+
+    df = transcripts_df(spark, 10, seed=9, partitions=3)
+    root = str(tmp_path / "idx")
+    build_index(df, root, config=BuildConfig(n_shards=3, n_pgroups=4), resume=False)
+    one = str(tmp_path / "one.ciff")
+    many = str(tmp_path / "many.ciff")
+    export_index_to_ciff(spark, root, one, chunk_bytes=1 << 30, n_parts=2)
+    export_index_to_ciff(spark, root, many, chunk_bytes=1, n_parts=7)
+    with open(one, "rb") as a, open(many, "rb") as b:
+        assert a.read() == b.read()
