@@ -38,13 +38,25 @@ def encode_u32_sequence(values) -> bytes:
 
 
 def iter_binary_collection(buf: bytes):
-    """Yield u32 arrays, one per length-prefixed sequence."""
+    """Yield u32 arrays, one per length-prefixed sequence.
+
+    Arbitrary (corrupt) bytes must fail with a clean ValueError, never an
+    unbounded read — the same never-panic parse contract the reference
+    quickchecks for BinarySequence::get
+    (/root/reference/src/binary_collection.rs:427-437)."""
     mv = memoryview(buf)
     pos = 0
     n = len(buf)
     while pos < n:
+        if n - pos < 4:
+            raise ValueError(f"binary collection: truncated length prefix at byte {pos}")
         (ln,) = struct.unpack_from("<I", mv, pos)
         pos += 4
+        if n - pos < 4 * ln:
+            raise ValueError(
+                f"binary collection: sequence at byte {pos - 4} claims {ln} "
+                f"u32 values but only {(n - pos) // 4} remain"
+            )
         yield np.frombuffer(mv, dtype="<u4", count=ln, offset=pos).copy()
         pos += 4 * ln
 

@@ -214,3 +214,29 @@ def test_write_pisa_front_coded_termlex(tmp_path):
     plain = open_lexicon(f"{base}.termlex")
     assert list(fc) == list(plain) == ["alpha", "beta", "gamma"]
     assert fc.index_of("beta") == 1 and fc.index_of("zeta") is None
+
+
+def test_binary_collection_never_panics_on_arbitrary_bytes():
+    """Parse-fuzz parity with the reference's BinarySequence quickcheck
+    (/root/reference/src/binary_collection.rs:427-437): arbitrary bytes
+    either parse into u32 sequences consuming the whole buffer, or raise a
+    clean ValueError — never an unbounded read, crash, or hang."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def check(data):
+        _check_one(data)
+
+    check()
+
+
+def _check_one(data):
+    try:
+        seqs = list(iter_binary_collection(data))
+    except ValueError:
+        return
+    assert sum(4 + 4 * len(s) for s in seqs) == len(data)
+    # a successfully parsed buffer round-trips byte-identically
+    assert b"".join(encode_u32_sequence(s) for s in seqs) == data
