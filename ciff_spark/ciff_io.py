@@ -346,7 +346,9 @@ def _frame(buf: io.BytesIO, msg: bytes) -> None:
     buf.write(msg)
 
 
-def _concat_chunk_files(fobj, files: list[str], key_col: str) -> int:
+def _concat_chunk_files(
+    fobj, files: list[str], key_col: str, payload_col: str = "payload"
+) -> int:
     """Stream ordered chunk payloads into ``fobj``; returns Σ n_msgs.
 
     Range partitioning makes every file's key range disjoint, so ordering
@@ -365,8 +367,8 @@ def _concat_chunk_files(fobj, files: list[str], key_col: str) -> int:
             total += sum(v.as_py() for v in t["n_msgs"])
     for _, f in sorted(keyed):
         pf = papq.ParquetFile(f)
-        for batch in pf.iter_batches(columns=["payload"]):
-            for payload in batch["payload"]:
+        for batch in pf.iter_batches(columns=[payload_col]):
+            for payload in batch[payload_col]:
                 fobj.write(payload.as_py())
     return total
 

@@ -403,36 +403,164 @@ def pisa_to_ciff_file(base: str, ciff_path: str, description: str = "") -> None:
     write_ciff(ciff_path, header, pls, recs)
 
 
-def export_index_to_pisa(spark, index_root: str, base: str, id_sep: str = "/") -> None:
+def export_index_to_pisa(
+    spark,
+    index_root: str,
+    base: str,
+    id_sep: str = "/",
+    chunk_bytes: int = 32 << 20,
+    n_parts: int | None = None,
+    lexicons: bool = True,
+) -> None:
     """Distributed index → PISA canonical files (terms lex-ordered, shards
-    concatenated in shard order)."""
-    from collections import defaultdict
+    concatenated in shard order) — DISTRIBUTED, like
+    :func:`ciff_spark.ciff_io.export_index_to_ciff`: executors u32-encode
+    per-term ``.docs``/``.freqs`` sequences and per-docid-range ``.sizes``/
+    ``.documents`` runs as ordered chunks (repartitionByRange keeps the
+    global term / docid order across partitions; postings chunks break only
+    at term boundaries), and the driver concatenates the chunk payloads into
+    each output file row-group-at-a-time — nothing index-sized materializes
+    on the driver.
 
+    The term/title LEXICONS are offset tables over the full string set; they
+    are built by re-streaming the just-written ``.terms``/``.documents``
+    text files on the driver (memory ∝ vocabulary / title bytes — the
+    lexicon files themselves are that size, so a single-file lexicon is
+    inherently driver-bounded; pass ``lexicons=False`` to skip)."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ciff_spark.ciff_io import _concat_chunk_files
     from ciff_spark.functions.codec import decode_postings
     from ciff_spark.store import IndexStore
 
     store = IndexStore(index_root)
-    docs = store.read(spark, "docs").orderBy("docid").collect()
-    id_cols = [c for c in docs[0].asDict() if c not in ("docid", "doclength")] if docs else []
-    sizes = np.array([r["doclength"] for r in docs], np.int64)
-    titles = [id_sep.join(str(r[c]) for c in id_cols) for r in docs]
+    meta = store.meta(spark)
+    num_docs = int(meta["num_docs"])
+    parts = n_parts or max(2, min(64, spark.sparkContext.defaultParallelism))
+    cb = int(chunk_bytes)
+    sep = id_sep
 
-    from pyspark.sql import functions as F
-
-    acc: dict[str, list] = defaultdict(list)
-    # third key: compaction appends extra rows per (term, shard); rows of a
-    # term must concatenate in ascending docid order
-    for r in (
+    rp = (
         store.read(spark, "postings")
-        .orderBy("term", "shard", F.expr("blocks[0].max_docid"))
-        .collect()
-    ):
-        acc[r["term"]].append(decode_postings([b.asDict() for b in r["blocks"]]))
-    postings = {
-        t: (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
-        for t, parts in acc.items()
-    }
-    write_pisa(base, sorted(postings), postings, sizes, titles)
+        .select("term", "shard", "blocks")
+        .repartitionByRange(parts, "term")
+        # third key: compaction appends extra rows per (term, shard); rows of
+        # a term must concatenate in ascending docid order
+        .sortWithinPartitions("term", "shard", F.expr("blocks[0].max_docid"))
+    )
+
+    def enc_postings_chunks(iterator):
+        dbuf, fbuf, tbuf = bytearray(), bytearray(), []
+        first_term = None
+        n_msgs = 0
+        cur_term = None
+        d_parts: list = []
+        t_parts: list = []
+
+        def flush_term():
+            nonlocal n_msgs, first_term, d_parts, t_parts
+            if cur_term is None:
+                return
+            d = np.concatenate(d_parts) if d_parts else np.empty(0, np.int64)
+            tf = np.concatenate(t_parts) if t_parts else np.empty(0, np.int64)
+            dbuf.extend(encode_u32_sequence(d))
+            fbuf.extend(encode_u32_sequence(tf))
+            tbuf.append(cur_term)
+            if first_term is None:
+                first_term = cur_term
+            n_msgs += 1
+            d_parts, t_parts = [], []
+
+        def chunk_row():
+            return pd.DataFrame(
+                [(
+                    first_term, n_msgs, bytes(dbuf), bytes(fbuf),
+                    ("\n".join(tbuf) + "\n").encode(),
+                )],
+                columns=["key", "n_msgs", "docs_bin", "freqs_bin", "terms_txt"],
+            )
+
+        for pdf in iterator:
+            for r in pdf.itertuples(index=False):
+                if r.term != cur_term:
+                    flush_term()
+                    if len(dbuf) >= cb:  # break only at term boundaries
+                        yield chunk_row()
+                        dbuf, fbuf, tbuf = bytearray(), bytearray(), []
+                        first_term, n_msgs = None, 0
+                    cur_term = r.term
+                d, t = decode_postings([dict(b) for b in r.blocks])
+                if len(d):
+                    d_parts.append(d)
+                    t_parts.append(t)
+        flush_term()
+        if n_msgs:
+            yield chunk_row()
+
+    docs_df = store.read(spark, "docs")
+    id_cols = [c for c in docs_df.columns if c not in ("docid", "doclength")]
+    docs_rp = docs_df.repartitionByRange(parts, "docid").sortWithinPartitions("docid")
+
+    def enc_doc_chunks(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            dids = pdf["docid"].to_numpy(np.int64)
+            if len(dids) > 1 and not (np.diff(dids) == 1).all():
+                raise ValueError("docs table is not dense in docid order")
+            sizes = pdf["doclength"].to_numpy()
+            if id_cols:
+                titles = [
+                    sep.join(str(v) for v in row)
+                    for row in zip(*(pdf[c] for c in id_cols))
+                ]
+            else:
+                titles = [""] * len(dids)
+            yield pd.DataFrame(
+                [(
+                    int(dids[0]), len(dids),
+                    np.ascontiguousarray(sizes, "<u4").tobytes(),
+                    ("\n".join(titles) + "\n").encode(),
+                )],
+                columns=["key", "n_msgs", "sizes_bin", "titles_txt"],
+            )
+
+    tmp = f"{base}.__chunks_{uuid.uuid4().hex[:8]}"
+    try:
+        rp.mapInPandas(
+            enc_postings_chunks,
+            schema="key string, n_msgs long, docs_bin binary, freqs_bin binary, terms_txt binary",
+        ).write.mode("overwrite").parquet(f"{tmp}/postings")
+        docs_rp.mapInPandas(
+            enc_doc_chunks,
+            schema="key bigint, n_msgs long, sizes_bin binary, titles_txt binary",
+        ).write.mode("overwrite").parquet(f"{tmp}/docs")
+
+        pfiles = sorted(_glob.glob(f"{tmp}/postings/*.parquet"))
+        dfiles = sorted(_glob.glob(f"{tmp}/docs/*.parquet"))
+        with open(f"{base}.docs", "wb") as fd:
+            fd.write(encode_u32_sequence([num_docs]))  # singleton header seq
+            _concat_chunk_files(fd, pfiles, "key", "docs_bin")
+        with open(f"{base}.freqs", "wb") as ff:
+            _concat_chunk_files(ff, pfiles, "key", "freqs_bin")
+        with open(f"{base}.terms", "wb") as ft:
+            _concat_chunk_files(ft, pfiles, "key", "terms_txt")
+        with open(f"{base}.sizes", "wb") as fs:
+            fs.write(struct.pack("<I", num_docs))
+            n_written = _concat_chunk_files(fs, dfiles, "key", "sizes_bin")
+        if n_written != num_docs:
+            raise ValueError(f"exported {n_written} doclengths, meta says {num_docs}")
+        with open(f"{base}.documents", "wb") as fdoc:
+            _concat_chunk_files(fdoc, dfiles, "key", "titles_txt")
+        if lexicons:
+            with open(f"{base}.termlex", "wb") as f:
+                f.write(build_lexicon(open(f"{base}.terms").read().splitlines()))
+            with open(f"{base}.doclex", "wb") as f:
+                f.write(build_lexicon(open(f"{base}.documents").read().splitlines()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
