@@ -557,6 +557,10 @@ def _fold_segments(
             num2, _table_num_rows(store, "term_stats"), total2, avgdl2,
             shard_size, block_size, str(meta.get("description", "")),
             bounds_avgdl=min(bounds_avgdl, avgdl2), n_pgroups=n_pgroups,
+            # impact indexes: the frozen quantizer range must survive
+            # compaction — dropping it would silently flip later
+            # append_vector_batch calls to truncation mode
+            q_lo=meta.get("q_lo"), q_hi=meta.get("q_hi"),
         )
     finally:
         seg_docs.unpersist()

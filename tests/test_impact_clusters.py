@@ -286,3 +286,50 @@ def test_cc_label_escalates_to_star(spark):
     out = connected_components(docs, pairs).toPandas()
     assert set(out["cluster"].astype(int)) == {0}
     assert len(out) == n
+
+
+def test_impact_compaction_preserves_quantizer_range(spark, tmp_path):
+    """Compacting an impact index must (a) keep serving Σ-impact results
+    identical to pre-compaction fresh serving, and (b) carry the frozen
+    quantizer range (meta q_lo/q_hi) through the meta rewrite — dropping it
+    would silently flip later append_vector_batch calls to truncation."""
+    from ciff_spark.serve import FreshSearcher, LocalSearcher
+    from ciff_spark.store import IndexStore
+    from ciff_spark.streaming.incremental import append_vector_batch, compact_segments
+
+    cols = ["ext_id", "pos", "term", "score"]
+    base_rows = [("0", 0, "a", 2.0), ("1", 1, "a", 8.0), ("1", 1, "b", 3.0),
+                 ("2", 2, "b", 5.0)]
+    seg_rows = [("3", 3, "a", 6.0), ("3", 3, "c", 4.0), ("4", 4, "b", 12.0)]
+    root = str(tmp_path / "impc")
+    build_index_from_vector_rows(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows, columns=cols)),
+        root, quantize=True, n_shards=2, n_pgroups=2, block_size=4,
+    )
+    store = IndexStore(root)
+    append_vector_batch(
+        spark, store, spark.createDataFrame(pd.DataFrame(seg_rows, columns=cols)), 0
+    )
+    before = {
+        q: FreshSearcher(root).search(q, k=10, scoring="impact")
+        for q in ("a b", "c", "a b c")
+    }
+    compact_segments(spark, root)
+    meta = store.meta_local()
+    assert meta["q_lo"] == 2.0 and meta["q_hi"] == 8.0
+    for q, want in before.items():
+        assert LocalSearcher(root).search(q, k=10, scoring="impact") == want, q
+        # fresh serving over the compacted base (no segments) agrees too
+        assert FreshSearcher(root).search(q, k=10, scoring="impact") == want, q
+    # and a post-compaction append still quantizes with the frozen range
+    append_vector_batch(
+        spark, store,
+        spark.createDataFrame(
+            pd.DataFrame([("5", 5, "a", 100.0)], columns=cols)  # clamps to 255
+        ),
+        1,
+    )
+    got = FreshSearcher(root).search("a", k=10, scoring="impact")
+    # doc 1 (score 8.0 = q_hi → 255) and doc 5 (100.0, clamped → 255) tie at
+    # the ceiling; docid breaks the tie — the clamp engaged iff doc 5 is 255
+    assert got[:2] == [(1, 255.0), (5, 255.0)]
