@@ -41,7 +41,11 @@ BLOCK_SIZE = 128
 #: docid-width cap per block (None = unbounded, pre-r4 geometry). 256 = 2×
 #: BLOCK_SIZE: never binds on dense lists (128 postings of a dense list span
 #: ~130 docids) while splitting sparse lists into narrow blocks with real
-#: gaps between them.
+#: gaps between them. Measured trade on the 131k-turn Zipf corpus
+#: (postings bytes / zipf-mix decode ratio / selective decode ratio):
+#: span 512 → 26.0 MB / 0.42 / 0.19; 256 → 28.6 MB / 0.32 / 0.16;
+#: 128 → 31.7 MB / 0.24 / 0.09; unbounded → 18.8 MB / 0.99 / 0.74.
+#: Build wall is span-independent (same-window A/B: 11.0 s vs 10.7 s).
 BLOCK_SPAN = 256
 
 #: Spark SQL type of one encoded block (postings tables store array<BLOCK_TYPE>).
