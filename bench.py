@@ -69,6 +69,46 @@ def bench_transcripts_build(spark, n_convs: int, cores: int) -> tuple[float, int
     return sec, int(turns)
 
 
+def zipf_term_bands(index_root: str, ndocs: int) -> dict | None:
+    """df-band term lists (rare/mid/med/hot) from an index's term_stats
+    parquet, with widening fallbacks — the ONE place the Zipf query shapes
+    are derived (bench section 3c and scripts/impact_prune_study.py share
+    it). Returns None when a band stays empty (tiny corpora) so callers can
+    skip pruning sections instead of crashing on empty-list modulo."""
+    import pyarrow.parquet as papq
+
+    ts = papq.read_table(
+        f"{index_root}/term_stats", columns=["term", "df"]
+    ).to_pandas()
+
+    def band(lo: float, hi: float) -> list[str]:
+        return sorted(ts[(ts["df"] >= lo) & (ts["df"] <= hi)]["term"].tolist())
+
+    rare = band(20, max(21, 0.002 * ndocs)) or band(5, max(6, 0.01 * ndocs))
+    mid = band(0.01 * ndocs, 0.05 * ndocs) or rare
+    med = band(0.05 * ndocs, 0.5 * ndocs) or mid
+    hot = band(0.5 * ndocs, ndocs) or med
+    if not (rare and mid and med and hot):
+        return None
+    return {"rare": rare, "mid": mid, "med": med, "hot": hot}
+
+
+def zipf_query_mixes(bands: dict, n: int = 10) -> tuple[list[str], list[str]]:
+    """(web-query shape: rare + mid + two stopword-hot terms,
+    selective shape: rare + medium-hot) — deterministic query sets."""
+    rare, mid, med, hot = bands["rare"], bands["mid"], bands["med"], bands["hot"]
+    zipf_qs = [
+        f"{rare[(7 * i) % len(rare)]} {mid[(3 * i) % len(mid)]} "
+        f"{hot[i % len(hot)]} {hot[(i + 1) % len(hot)]}"
+        for i in range(n)
+    ]
+    sel_qs = [
+        f"{rare[(7 * i) % len(rare)]} {med[(2 * i) % len(med)]}"
+        for i in range(n)
+    ]
+    return zipf_qs, sel_qs
+
+
 def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
     from ciff_spark import get_spark
     from ciff_spark.operators import dedup, events, index_queries, relational, simsearch, textquality
@@ -166,80 +206,62 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
     # (high-idf, selective) term with mid + hot terms let θ from the
     # rare-term intervals prune the hot lists' blocks. Reported: decode ratio
     # over the query lists, and WAND vs exhaustive wall on the same batch.
-    import pyarrow.parquet as _pq
-
     troot = f"/tmp/ciff_bench_idx/transcripts_{n_convs}_{cores}"
-    ts_pdf = _pq.read_table(
-        f"{troot}/term_stats", columns=["term", "df"]
-    ).to_pandas()
-    ndocs = int(turns)
+    bands = zipf_term_bands(troot, int(turns))
+    if bands is None:
+        # tiny corpus: some df band is empty even after fallbacks — the
+        # pruning sections need real rare/mid/hot terms to mean anything
+        log("zipf prune sections skipped: df bands empty at this corpus size")
+        zipf_ratio = sel_ratio = None
+    else:
+        zipf_qs, sel_qs = zipf_query_mixes(bands)
 
-    def _band(lo_df: float, hi_df: float) -> list[str]:
-        s = ts_pdf[(ts_pdf["df"] >= lo_df) & (ts_pdf["df"] <= hi_df)]
-        return sorted(s["term"].tolist())
+        def _ratio(qs: list[str]) -> float:
+            st: dict = {}
+            for q in qs:
+                # fresh searcher per query: ratio measures pruning, not caching
+                LocalSearcher(troot).search(q, k=10, stats=st)
+            return (
+                st.get("decoded_blocks", 0) / st["total_blocks"]
+                if st.get("total_blocks")
+                else 0.0
+            )
 
-    rare = _band(20, max(21, 0.002 * ndocs)) or _band(5, max(6, 0.01 * ndocs))
-    mid = _band(0.01 * ndocs, 0.05 * ndocs) or rare
-    med = _band(0.05 * ndocs, 0.5 * ndocs) or mid
-    hot = _band(0.5 * ndocs, ndocs) or med
-    # the web-query shape: one selective term + one mid + two stopword-hot
-    zipf_qs = [
-        f"{rare[(7 * i) % len(rare)]} {mid[(3 * i) % len(mid)]} "
-        f"{hot[i % len(hot)]} {hot[(i + 1) % len(hot)]}"
-        for i in range(10)
-    ]
-    # the selective shape (no stopwords): rare + medium-hot
-    sel_qs = [
-        f"{rare[(7 * i) % len(rare)]} {med[(2 * i) % len(med)]}"
-        for i in range(10)
-    ]
+        zipf_ratio = _ratio(zipf_qs)
+        sel_ratio = _ratio(sel_qs)
+        log(f"zipf prune decode ratio: {zipf_ratio:.3f} (mixed) {sel_ratio:.3f} (selective)")
+        # serving-path A/B on identical queries: LocalSearcher = Block-Max
+        # WAND kernel; FreshSearcher (no segments) = the exhaustive scorer
+        # over the same artifact. Fresh instance per query on both sides
+        # (cold decode, warm page cache) — the wall gap IS the pruning win;
+        # rank-identity of the two engines is pytest-asserted.
+        from ciff_spark.serve import FreshSearcher
 
-    def _ratio(qs: list[str]) -> float:
-        st: dict = {}
-        for q in qs:
-            # fresh searcher per query: ratio measures pruning, not caching
-            LocalSearcher(troot).search(q, k=10, stats=st)
-        return (
-            st.get("decoded_blocks", 0) / st["total_blocks"]
-            if st.get("total_blocks")
-            else 0.0
+        def _serve_lats(cls) -> list[float]:
+            out = []
+            for q in zipf_qs:
+                s = cls(troot)  # index open / dl / stats load NOT timed
+                out.append(_timed(lambda: s.search(q, k=10))[0])
+            return sorted(out)
+
+        wl = _serve_lats(LocalSearcher)
+        el = _serve_lats(FreshSearcher)
+        queries["zipf_serve_wand_p50_ms"] = round(wl[len(wl) // 2] * 1000, 2)
+        queries["zipf_serve_exhaustive_p50_ms"] = round(el[len(el) // 2] * 1000, 2)
+        # distributed batch on the same queries: reported for completeness —
+        # at bench scale the per-job scan/shuffle dominates both modes, so
+        # the pruning win shows in the serving walls above, not here
+        treader = IndexReader(spark, troot)
+        zbatch = [(i, q) for i, q in enumerate(zipf_qs * 2)]
+        sec, _ = _timed(lambda: treader.topk(zbatch, k=10, mode="wand").count())
+        queries["zipf_wand_batch20"] = round(sec, 3)
+        sec, _ = _timed(lambda: treader.topk(zbatch, k=10, mode="exact").count())
+        queries["zipf_exact_batch20"] = round(sec, 3)
+        log(
+            f"zipf serve p50: wand {queries['zipf_serve_wand_p50_ms']}ms vs "
+            f"exhaustive {queries['zipf_serve_exhaustive_p50_ms']}ms; batch wand "
+            f"{queries['zipf_wand_batch20']}s vs exact {queries['zipf_exact_batch20']}s"
         )
-
-    zipf_ratio = _ratio(zipf_qs)
-    sel_ratio = _ratio(sel_qs)
-    log(f"zipf prune decode ratio: {zipf_ratio:.3f} (mixed) {sel_ratio:.3f} (selective)")
-    # serving-path A/B on identical queries: LocalSearcher = Block-Max WAND
-    # kernel; FreshSearcher (no segments) = the exhaustive scorer over the
-    # same artifact. Fresh instance per query on both sides (cold decode,
-    # warm page cache) — the wall gap IS the pruning win; rank-identity of
-    # the two engines is pytest-asserted.
-    from ciff_spark.serve import FreshSearcher
-
-    def _serve_lats(cls) -> list[float]:
-        out = []
-        for q in zipf_qs:
-            s = cls(troot)  # index open / dl / stats load NOT timed
-            out.append(_timed(lambda: s.search(q, k=10))[0])
-        return sorted(out)
-
-    wl = _serve_lats(LocalSearcher)
-    el = _serve_lats(FreshSearcher)
-    queries["zipf_serve_wand_p50_ms"] = round(wl[len(wl) // 2] * 1000, 2)
-    queries["zipf_serve_exhaustive_p50_ms"] = round(el[len(el) // 2] * 1000, 2)
-    # distributed batch on the same queries: reported for completeness — at
-    # bench scale the per-job scan/shuffle dominates both modes, so the
-    # pruning win shows in the serving walls above, not here
-    treader = IndexReader(spark, troot)
-    zbatch = [(i, q) for i, q in enumerate(zipf_qs * 2)]
-    sec, _ = _timed(lambda: treader.topk(zbatch, k=10, mode="wand").count())
-    queries["zipf_wand_batch20"] = round(sec, 3)
-    sec, _ = _timed(lambda: treader.topk(zbatch, k=10, mode="exact").count())
-    queries["zipf_exact_batch20"] = round(sec, 3)
-    log(
-        f"zipf serve p50: wand {queries['zipf_serve_wand_p50_ms']}ms vs "
-        f"exhaustive {queries['zipf_serve_exhaustive_p50_ms']}ms; batch wand "
-        f"{queries['zipf_wand_batch20']}s vs exact {queries['zipf_exact_batch20']}s"
-    )
 
     # quantized-impact retrieval: cold build of the tf·idf impact index +
     # Σ-impact WAND through the Spark reader and the serving path
@@ -322,8 +344,8 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
         "bench_convs": n_convs,
         "index_build_turns_per_sec": round(turns_per_sec, 1),
         "wand_block_decode_ratio": round(decode_ratio, 4),
-        "zipf_prune_decode_ratio": round(zipf_ratio, 4),
-        "selective_prune_decode_ratio": round(sel_ratio, 4),
+        "zipf_prune_decode_ratio": None if zipf_ratio is None else round(zipf_ratio, 4),
+        "selective_prune_decode_ratio": None if sel_ratio is None else round(sel_ratio, 4),
         "compaction_fold_sec": round(fold_sec, 3),
         "compaction_fold_turns": int(len(seg_pdf)),
     }
@@ -763,8 +785,13 @@ def main() -> None:
     ap.add_argument("--vocab-exp", type=int, default=0, help="run the vocabulary-scale experiment with this vocab size")
     ap.add_argument("--pair", default="1,4", help="N,4N core pair for --scaling")
     ap.add_argument("--repeats", type=int, default=2, help="full N/4N pair runs for --scaling")
-    ap.add_argument("--convs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000")))
+    ap.add_argument(
+        "--convs", type=int, default=None,
+        help="corpus size in conversations (default: $SPARK_GRAFT_BENCH_CONVS or 20000; --scaling uses 400000 unless --convs is explicit)",
+    )
     args = ap.parse_args()
+    if args.convs is None and not (args.scaling or args.scaling_concurrent):
+        args.convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
     if args.vocab_exp:
         run_vocab_experiment(args.convs, args.vocab_exp)
         return
@@ -780,13 +807,12 @@ def main() -> None:
         return
     if args.scaling or args.scaling_concurrent:
         lo, hi = (int(x) for x in args.pair.split(","))
-        n = args.convs
-        if n == int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000")):
-            # corpus size is THE lever: small corpora measure the fixed serial
-            # component, not the build (BENCH/BASELINE.md Amdahl fit) — the
-            # un-overridden default runs at 4x corpus; an explicit --convs wins
-            log(f"--scaling: default corpus {n} -> 400000 (4x-corpus protocol)")
-            n = 400_000
+        # corpus size is THE lever: small corpora measure the fixed serial
+        # component, not the build (BENCH/BASELINE.md Amdahl fit) — the
+        # un-overridden default runs at 4x corpus; an explicit --convs wins
+        n = args.convs if args.convs is not None else 400_000
+        if args.convs is None:
+            log("--scaling: default corpus -> 400000 convs (4x-corpus protocol)")
         run_scaling_concurrent(n, (lo, hi), repeats=args.repeats)
         return
     if args.scaling_serialized:

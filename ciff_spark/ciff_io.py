@@ -346,16 +346,9 @@ def _frame(buf: io.BytesIO, msg: bytes) -> None:
     buf.write(msg)
 
 
-def _concat_chunk_files(
-    fobj, files: list[str], key_col: str, payload_col: str = "payload"
-) -> int:
-    """Stream ordered chunk payloads into ``fobj``; returns Σ n_msgs.
-
-    Range partitioning makes every file's key range disjoint, so ordering
-    FILES by their first key and keeping row order within a file yields the
-    global message order. Payloads stream row-group-at-a-time (pyarrow
-    ``iter_batches``) — driver memory is bounded by one row group, never the
-    index."""
+def _chunk_file_order(files: list[str], key_col: str) -> tuple[list, int]:
+    """([(first_key, file)] sorted by key, Σ n_msgs) — ONE metadata pass over
+    the chunk files, shared by every output that streams the same chunks."""
     import pyarrow.parquet as papq
 
     keyed = []
@@ -365,7 +358,28 @@ def _concat_chunk_files(
         if t.num_rows:
             keyed.append((t[key_col][0].as_py(), f))
             total += sum(v.as_py() for v in t["n_msgs"])
-    for _, f in sorted(keyed):
+    return sorted(keyed), total
+
+
+def _concat_chunk_files(
+    fobj,
+    files: list[str],
+    key_col: str,
+    payload_col: str = "payload",
+    order: tuple[list, int] | None = None,
+) -> int:
+    """Stream ordered chunk payloads into ``fobj``; returns Σ n_msgs.
+
+    Range partitioning makes every file's key range disjoint, so ordering
+    FILES by their first key and keeping row order within a file yields the
+    global message order. Payloads stream row-group-at-a-time (pyarrow
+    ``iter_batches``) — driver memory is bounded by one row group, never the
+    index. ``order``: pass a pre-computed ``_chunk_file_order`` result to
+    avoid re-reading chunk metadata per output file."""
+    import pyarrow.parquet as papq
+
+    keyed, total = _chunk_file_order(files, key_col) if order is None else order
+    for _, f in keyed:
         pf = papq.ParquetFile(f)
         for batch in pf.iter_batches(columns=[payload_col]):
             for payload in batch[payload_col]:
@@ -533,13 +547,9 @@ def export_index_to_ciff(
             enc_doc_chunks, schema="key bigint, n_msgs long, payload binary"
         ).write.mode("overwrite").parquet(f"{tmp}/docs")
 
-        import pyarrow.parquet as papq
-
         pfiles = sorted(_glob.glob(f"{tmp}/postings/*.parquet"))
-        n_pls = sum(
-            sum(v.as_py() for v in papq.read_table(f, columns=["n_msgs"])["n_msgs"])
-            for f in pfiles
-        )
+        p_order = _chunk_file_order(pfiles, "key")
+        n_pls = p_order[1]
         header = CiffHeader(
             version=1,
             num_postings_lists=int(n_pls),
@@ -556,7 +566,7 @@ def export_index_to_ciff(
             _write_varint(lead, len(hdr))
             f.write(lead.getvalue())
             f.write(hdr)
-            _concat_chunk_files(f, pfiles, "key")
+            _concat_chunk_files(f, pfiles, "key", order=p_order)
             _concat_chunk_files(
                 f, sorted(_glob.glob(f"{tmp}/docs/*.parquet")), "key"
             )

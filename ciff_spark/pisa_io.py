@@ -434,7 +434,7 @@ def export_index_to_pisa(
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from ciff_spark.ciff_io import _concat_chunk_files
+    from ciff_spark.ciff_io import _chunk_file_order, _concat_chunk_files
     from ciff_spark.functions.codec import decode_postings
     from ciff_spark.store import IndexStore
 
@@ -543,24 +543,34 @@ def export_index_to_pisa(
 
         pfiles = sorted(_glob.glob(f"{tmp}/postings/*.parquet"))
         dfiles = sorted(_glob.glob(f"{tmp}/docs/*.parquet"))
+        p_order = _chunk_file_order(pfiles, "key")
+        d_order = _chunk_file_order(dfiles, "key")
         with open(f"{base}.docs", "wb") as fd:
             fd.write(encode_u32_sequence([num_docs]))  # singleton header seq
-            _concat_chunk_files(fd, pfiles, "key", "docs_bin")
+            _concat_chunk_files(fd, pfiles, "key", "docs_bin", order=p_order)
         with open(f"{base}.freqs", "wb") as ff:
-            _concat_chunk_files(ff, pfiles, "key", "freqs_bin")
+            _concat_chunk_files(ff, pfiles, "key", "freqs_bin", order=p_order)
         with open(f"{base}.terms", "wb") as ft:
-            _concat_chunk_files(ft, pfiles, "key", "terms_txt")
+            _concat_chunk_files(ft, pfiles, "key", "terms_txt", order=p_order)
         with open(f"{base}.sizes", "wb") as fs:
             fs.write(struct.pack("<I", num_docs))
-            n_written = _concat_chunk_files(fs, dfiles, "key", "sizes_bin")
+            n_written = _concat_chunk_files(fs, dfiles, "key", "sizes_bin", order=d_order)
         if n_written != num_docs:
             raise ValueError(f"exported {n_written} doclengths, meta says {num_docs}")
         with open(f"{base}.documents", "wb") as fdoc:
-            _concat_chunk_files(fdoc, dfiles, "key", "titles_txt")
+            _concat_chunk_files(fdoc, dfiles, "key", "titles_txt", order=d_order)
         if lexicons:
+            # the text files were written as raw UTF-8 with "\n" joins:
+            # decode explicitly (locale-independent) and split on "\n" only
+            # (splitlines() would also split on U+0085/U+2028 inside a title,
+            # misaligning the lexicon with the positional .documents file)
+            def _lines(path: str) -> list[str]:
+                txt = open(path, "rb").read().decode("utf-8")
+                return txt.split("\n")[:-1] if txt else []
+
             with open(f"{base}.termlex", "wb") as f:
-                f.write(build_lexicon(open(f"{base}.terms").read().splitlines()))
+                f.write(build_lexicon(_lines(f"{base}.terms")))
             with open(f"{base}.doclex", "wb") as f:
-                f.write(build_lexicon(open(f"{base}.documents").read().splitlines()))
+                f.write(build_lexicon(_lines(f"{base}.documents")))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

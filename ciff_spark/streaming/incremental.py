@@ -194,6 +194,17 @@ def append_vector_batch(
     meta = store.meta_local()
     q_lo, q_hi = meta.get("q_lo"), meta.get("q_hi")
     quantize = q_lo is not None
+    if not quantize and "quantize=True" in str(meta.get("description", "")):
+        # a quantized index whose meta predates the frozen-range fields:
+        # silently truncating here would mix raw-truncated tfs with
+        # 8-bit-quantized base impacts — incomparable Σ-impact ranks with no
+        # error anywhere downstream. Fail loud instead.
+        raise ValueError(
+            "index was built with quantize=True but its meta has no frozen "
+            "quantizer range (q_lo/q_hi — built before streaming impact "
+            "support); rebuild the index once to record the range before "
+            "appending vector batches"
+        )
 
     ids = batch_df.groupBy("ext_id").agg(F.min("pos").alias("first_pos"))
     ranked = add_dense_docid(ids, ["first_pos", "ext_id"])
@@ -463,6 +474,21 @@ def _fold_segments(
             yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
 
         pg_expr = F.pmod(F.hash("term"), F.lit(n_pgroups))
+        # pre-variable-width guard: appending min_docid-bearing block structs
+        # beside old struct<6> files would leave a pgroup dir with MIXED
+        # nested schemas, which the serving readers' pyarrow dataset scans
+        # refuse to unify — fail loud with the rebuild path instead
+        base_files = glob.glob(store.path("postings") + "/pgroup=*/*.parquet")
+        if base_files:
+            vt = papq.ParquetFile(base_files[0]).schema_arrow.field("blocks").type.value_type
+            if "min_docid" not in [vt.field(i).name for i in range(vt.num_fields)]:
+                raise ValueError(
+                    "base postings predate variable-width blocks (no "
+                    "min_docid in the block struct) — concat compaction "
+                    "would mix block schemas within a pgroup dir; run "
+                    "compact_segments(rebuild_from=...) once to refresh "
+                    "the index"
+                )
         segp = read_segments(spark, store, SEG_POSTINGS).select("term", "blocks")
         enc = (
             segp.repartition(n_pgroups, pg_expr)

@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 
-import pyarrow.parquet as papq
 from pyspark.sql import functions as F
 
 from ciff_spark import get_spark
@@ -70,18 +69,13 @@ def main() -> None:
     build_sec = time.time() - t0
     spark.stop()
 
-    ts = papq.read_table(f"{ROOT}/term_stats", columns=["term", "df"]).to_pandas()
+    from bench import zipf_query_mixes, zipf_term_bands
+
     n = LocalSearcher(ROOT).num_docs
-
-    def band(lo, hi):
-        return sorted(ts[(ts["df"] >= lo * n) & (ts["df"] <= hi * n)]["term"].tolist())
-
-    rare, mid, hot = band(20 / n, 0.002), band(0.01, 0.05), band(0.5, 1.0)
-    qs = [
-        f"{rare[(7 * i) % len(rare)]} {mid[(3 * i) % len(mid)]} "
-        f"{hot[i % len(hot)]} {hot[(i + 1) % len(hot)]}"
-        for i in range(10)
-    ]
+    bands = zipf_term_bands(ROOT, n)
+    if bands is None:
+        raise SystemExit("corpus too small for the df bands — raise N_CONVS")
+    qs, _sel = zipf_query_mixes(bands)
     st: dict = {}
     for q in qs:
         LocalSearcher(ROOT).search(q, k=10, scoring="impact", stats=st)
