@@ -333,3 +333,71 @@ def test_impact_compaction_preserves_quantizer_range(spark, tmp_path):
     # doc 1 (score 8.0 = q_hi → 255) and doc 5 (100.0, clamped → 255) tie at
     # the ceiling; docid breaks the tie — the clamp engaged iff doc 5 is 255
     assert got[:2] == [(1, 255.0), (5, 255.0)]
+
+
+def test_legacy_guards_fail_loud(spark, tmp_path):
+    """Pre-r4 artifacts must be rejected loudly, not silently corrupted:
+    (a) appending vector batches to a quantized index whose meta lacks the
+    frozen range must raise (silent truncation would mix scales); (b) concat
+    compaction onto postings files without min_docid in the block struct
+    must raise (mixed nested schemas break the serving readers)."""
+    import glob
+
+    import pyarrow.parquet as papq
+    import pytest
+
+    from ciff_spark.store import IndexStore
+    from ciff_spark.streaming.incremental import (
+        append_batch,
+        append_vector_batch,
+        compact_segments,
+    )
+
+    cols = ["ext_id", "pos", "term", "score"]
+    root = str(tmp_path / "legacy")
+    build_index_from_vector_rows(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([("0", 0, "a", 2.0), ("1", 1, "b", 5.0)], columns=cols)
+        ),
+        root, quantize=True, n_shards=2, n_pgroups=2,
+    )
+    store = IndexStore(root)
+
+    # (a) simulate a pre-r4 meta: same fields but no q_lo/q_hi
+    m = store.meta_local()
+    store.write_meta_local(
+        m["num_docs"], m["num_terms"], m["total_terms"], m["avgdl"],
+        m["shard_size"], m["block_size"], m["description"],
+        bounds_avgdl=m["bounds_avgdl"], n_pgroups=m["n_pgroups"],
+    )
+    seg = spark.createDataFrame(pd.DataFrame([("2", 2, "a", 3.0)], columns=cols))
+    with pytest.raises(ValueError, match="frozen quantizer range"):
+        append_vector_batch(spark, store, seg, 0)
+
+    # (b) simulate pre-r4 postings: rewrite each file with min_docid dropped
+    for f in glob.glob(f"{root}/postings/pgroup=*/*.parquet"):
+        t = papq.read_table(f).to_pylist()
+        for r in t:
+            r["blocks"] = [
+                {k: v for k, v in b.items() if k != "min_docid"}
+                for b in r["blocks"]
+            ]
+        import pyarrow as pa
+
+        papq.write_table(pa.Table.from_pylist(t), f)
+    # restore a range so (a) doesn't fire first, then stream a TEXT batch
+    store.write_meta_local(
+        m["num_docs"], m["num_terms"], m["total_terms"], m["avgdl"],
+        m["shard_size"], m["block_size"], m["description"],
+        bounds_avgdl=m["bounds_avgdl"], n_pgroups=m["n_pgroups"],
+        q_lo=2.0, q_hi=5.0,
+    )
+    append_batch(
+        spark, store,
+        spark.createDataFrame([("c9", 0, "user", "a b", None, None)],
+                              "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"),
+        1,
+    )
+    with pytest.raises(ValueError, match="variable-width"):
+        compact_segments(spark, root)
