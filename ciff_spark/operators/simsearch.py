@@ -370,6 +370,185 @@ WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF with a TRAINED coarse quantizer: fixed-iteration Lloyd's k-means
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _sqdist_to(c: list[float]) -> Column:
+    ccol = F.array(*[F.lit(x) for x in c])
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"), ccol,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cluster(cents: list[list[float]]) -> Column:
+    """argmin over centroids of round(‖v−c‖², 6), ties to the smaller
+    cluster id — array_min over struct<d, j> is the lexicographic argmin."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(F.round(_sqdist_to(c), 6).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cents)
+            ]
+        )
+    )["j"]
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[list[float]]:
+    """Deterministic fixed-iteration Lloyd's over the embeddings — the
+    trained coarse quantizer for IVF. Built to be CROSS-ENGINE REPRODUCIBLE
+    (the DuckDB oracle re-runs the identical unrolled iterations):
+
+    - init: the first ``k`` vectors (vec_id < k), components rounded to 6;
+    - each iteration: assign by round(‖v−c‖², 6) with ties to the smaller
+      cluster id, then centroid = per-component round(avg, 6) (rounding at
+      every stage absorbs the engines' different summation orders — the
+      same pin every rounded-score entry uses); an emptied cluster keeps
+      its previous centroid.
+
+    Per iteration: one distributed assignment pass (codegen'd expressions,
+    no UDF) + one (cluster, dim) aggregation; only the k×DIM centroid table
+    ever reaches the driver — the 100 TB shape for Lloyd's on Spark."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        emb.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("c"))
+        .collect()
+    )
+    cents = [[float(x) for x in r["c"]] for r in init]
+    for _ in range(iters):
+        assigned = emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
+        means = (
+            assigned.select("cl", F.posexplode("embedding").alias("i", "vx"))
+            .groupBy("cl", "i")
+            .agg(F.round(F.avg(F.col("vx").cast("double")), 6).alias("cx"))
+            .collect()
+        )
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cl.setdefault(int(r["cl"]), {})[int(r["i"])] = float(r["cx"])
+        cents = [
+            [by_cl[j][i] for i in range(len(cents[j]))] if j in by_cl else cents[j]
+            for j in range(k)
+        ]
+    return cents
+
+
+def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) under the final trained centroids — the full IVF
+    partition assignment, value-checked against the oracle's re-derivation
+    of the whole Lloyd's pipeline."""
+    cents = kmeans_centroids(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", _assign_cluster(cents).cast("int").alias("cluster"))
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the trained quantizer: scan ONLY the query's coarse
+    cell (vectors assigned to the query's nearest final centroid), exact
+    cosine within it — the scale path scans 1/k of the corpus."""
+    cents = kmeans_centroids(spark, sf_dir)
+    q, _ = _query_vec(spark, sf_dir, 0)
+    qcell = min(
+        range(len(cents)),
+        key=lambda j: (
+            round(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j])), 6), j
+        ),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
+        .where((F.col("vec_id") != 0) & (F.col("cl") == qcell))
+        .select("vec_id", F.round(_cos_to_query(q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(K_IVF)
+    )
+
+
+def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd's as DuckDB CTEs: ev (positional components), c0
+    (init), then per iteration an assignment CTE (argmin of rounded sq-dist,
+    ties to smaller cluster) and a centroid CTE (rounded per-component avg,
+    COALESCE keeps an emptied cluster's previous centroid). Exposes
+    ``c{iters}`` (final centroids) and ``afin`` (final assignment)."""
+    parts = [
+        """ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS vx
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id AS cl, i, round(vx, 6) AS cx FROM ev WHERE vec_id < {k}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(f"""d{t} AS (
+  SELECT ev.vec_id, {prev}.cl,
+         round(sum((ev.vx - {prev}.cx) * (ev.vx - {prev}.cx)), 6) AS d
+  FROM ev JOIN {prev} USING (i) GROUP BY ev.vec_id, {prev}.cl
+)""")
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, cl FROM d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+)""")
+        parts.append(f"""m{t} AS (
+  SELECT a{t}.cl, ev.i, round(avg(ev.vx), 6) AS cx
+  FROM a{t} JOIN ev USING (vec_id) GROUP BY a{t}.cl, ev.i
+)""")
+        parts.append(f"""c{t} AS (
+  SELECT {prev}.cl, {prev}.i, COALESCE(m{t}.cx, {prev}.cx) AS cx
+  FROM {prev} LEFT JOIN m{t} ON m{t}.cl = {prev}.cl AND m{t}.i = {prev}.i
+)""")
+    parts.append(f"""dfin AS (
+  SELECT ev.vec_id, c{iters}.cl,
+         round(sum((ev.vx - c{iters}.cx) * (ev.vx - c{iters}.cx)), 6) AS d
+  FROM ev JOIN c{iters} USING (i) GROUP BY ev.vec_id, c{iters}.cl
+)""")
+    parts.append("""afin AS (
+  SELECT vec_id, cl FROM dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+)""")
+    return ",\n".join(parts)
+
+
+ANN_KMEANS_CLUSTERS_SQL = f"""
+WITH {_kmeans_sql_ctes()}
+SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM afin
+"""
+
+ANN_IVF_KMEANS_SQL = f"""
+WITH {_kmeans_sql_ctes()},
+qv AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS qx
+  FROM embeddings WHERE vec_id = 0
+),
+qcell AS (SELECT cl FROM afin WHERE vec_id = 0),
+cos AS (
+  SELECT ev.vec_id,
+         sum(vx * qx) / (sqrt(sum(vx * vx)) * sqrt(sum(qx * qx))) AS c
+  FROM ev JOIN qv USING (i)
+  WHERE ev.vec_id IN (SELECT vec_id FROM afin WHERE cl = (SELECT cl FROM qcell))
+  GROUP BY ev.vec_id
+)
+SELECT vec_id, round(c, 6) AS cos FROM cos WHERE vec_id != 0
+ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}
+"""
+
+
 def neardup_clusters(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
@@ -410,6 +589,10 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "ann_ivf_label": (ann_ivf_label, ANN_IVF_SQL),
+    # trained coarse quantizer (fixed-iteration Lloyd's), oracle re-derives
+    # the full k-means pipeline relationally
+    "ann_kmeans_clusters": (ann_kmeans_clusters, ANN_KMEANS_CLUSTERS_SQL),
+    "ann_ivf_kmeans": (ann_ivf_kmeans, ANN_IVF_KMEANS_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
     "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
     "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),
