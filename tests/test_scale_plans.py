@@ -62,3 +62,16 @@ def test_simhash_banding_is_exact(spark):
         .reset_index(drop=True)
     )
     assert banded.equals(brute)
+
+
+def test_kmeans_assignment_is_pure_codegen(spark):
+    """The Lloyd's assignment pass is the per-iteration hot path over the
+    full embedding table: it must stay JVM-side expression work (aggregate/
+    zip_with inside codegen), never a Python UDF and never a join against a
+    centroid table (the centroids are driver literals)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ann_kmeans_clusters"](spark, SF_DIR)
+    plan = _plan(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert bad not in plan, f"{bad} in assignment plan:\n{plan}"
