@@ -477,6 +477,28 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_kmeans_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): scan the query's TWO nearest coarse
+    cells — the standard recall knob for a trained quantizer (a true
+    neighbor just across a cell boundary is invisible to nprobe=1); cost is
+    still 2/k of the corpus, never a full scan."""
+    cents = kmeans_centroids(spark, sf_dir)
+    q, _ = _query_vec(spark, sf_dir, 0)
+    ranked = sorted(
+        (round(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j])), 6), j)
+        for j in range(len(cents))
+    )
+    cells = [j for _, j in ranked[:2]]
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
+        .where((F.col("vec_id") != 0) & F.col("cl").isin(cells))
+        .select("vec_id", F.round(_cos_to_query(q), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(K_IVF)
+    )
+
+
 def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """Unrolled Lloyd's as DuckDB CTEs: ev (positional components), c0
     (init), then per iteration an assignment CTE (argmin of rounded sq-dist,
@@ -549,6 +571,26 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}
 """
 
 
+ANN_IVF_KMEANS_PROBE2_SQL = f"""
+WITH {_kmeans_sql_ctes()},
+qv AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS qx
+  FROM embeddings WHERE vec_id = 0
+),
+qcells AS (SELECT cl FROM dfin WHERE vec_id = 0 ORDER BY d, cl LIMIT 2),
+cos AS (
+  SELECT ev.vec_id,
+         sum(vx * qx) / (sqrt(sum(vx * vx)) * sqrt(sum(qx * qx))) AS c
+  FROM ev JOIN qv USING (i)
+  WHERE ev.vec_id IN (SELECT vec_id FROM afin WHERE cl IN (SELECT cl FROM qcells))
+  GROUP BY ev.vec_id
+)
+SELECT vec_id, round(c, 6) AS cos FROM cos WHERE vec_id != 0
+ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}
+"""
+
+
 def neardup_clusters(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
@@ -593,6 +635,7 @@ QUERIES: dict[str, tuple] = {
     # the full k-means pipeline relationally
     "ann_kmeans_clusters": (ann_kmeans_clusters, ANN_KMEANS_CLUSTERS_SQL),
     "ann_ivf_kmeans": (ann_ivf_kmeans, ANN_IVF_KMEANS_SQL),
+    "ann_ivf_kmeans_probe2": (ann_ivf_kmeans_probe2, ANN_IVF_KMEANS_PROBE2_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
     "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
     "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),

@@ -75,3 +75,20 @@ def test_kmeans_assignment_is_pure_codegen(spark):
     plan = _plan(df)
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Join"):
         assert bad not in plan, f"{bad} in assignment plan:\n{plan}"
+
+
+def test_zipf_term_bands_none_on_degenerate_vocab(tmp_path):
+    """bench's band helper must signal (None) rather than hand empty lists
+    to the query-synthesis modulo when a corpus is too small/degenerate."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from bench import zipf_term_bands
+
+    d = tmp_path / "term_stats"
+    d.mkdir()
+    papq.write_table(
+        pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
+        str(d / "part-0.parquet"),
+    )
+    assert zipf_term_bands(str(tmp_path), 100) is None
