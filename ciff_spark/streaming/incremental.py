@@ -333,6 +333,36 @@ def start_incremental_index(
     return writer.start()
 
 
+VECTOR_ROWS_DDL = "ext_id string, pos bigint, term string, score double"
+
+
+def start_incremental_vector_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source stream of ``(ext_id, pos, term, score)`` doc-vector rows
+    → foreachBatch impact segments (``append_vector_batch`` — quantized with
+    the base index's frozen range) — the learned-sparse twin of
+    :func:`start_incremental_index`. Same exactly-once/idempotent segment
+    protocol; serve fresh results with ``FreshSearcher(scoring="impact")``;
+    fold with ``compact_segments``."""
+    store = IndexStore(index_root)
+    stream = spark.readStream.schema(VECTOR_ROWS_DDL).parquet(input_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_vector_batch(spark, store, batch_df, batch_id)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_segments(
     spark: SparkSession, index_root: str, rebuild_from: DataFrame | None = None,
     config: BuildConfig | None = None,

@@ -401,3 +401,71 @@ def test_legacy_guards_fail_loud(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="variable-width"):
         compact_segments(spark, root)
+
+
+def test_streaming_vector_index_fresh_equals_batch(spark, tmp_path):
+    """Structured-Streaming impact ingestion: stream doc-vector rows through
+    start_incremental_vector_index (two availableNow drains, checkpointed),
+    then FreshSearcher Σ-impact over base ∪ streamed segments must equal a
+    COLD rebuild over all rows with the same frozen quantizer range."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from ciff_spark.serve import FreshSearcher, LocalSearcher
+    from ciff_spark.sources.jsonl_vectors import quantize_scores
+    from ciff_spark.store import IndexStore
+    from ciff_spark.streaming.incremental import start_incremental_vector_index
+
+    cols = ["ext_id", "pos", "term", "score"]
+    base_rows = [("0", 0, "a", 1.0), ("0", 0, "b", 6.0), ("1", 1, "a", 9.0),
+                 ("2", 2, "b", 4.0)]
+    s1 = [("3", 3, "a", 2.5), ("3", 3, "c", 7.0)]
+    s2 = [("4", 4, "b", 11.0), ("4", 4, "c", 0.5)]  # clamps vs base range
+    root = str(tmp_path / "vstream_idx")
+    build_index_from_vector_rows(
+        spark, spark.createDataFrame(pd.DataFrame(base_rows, columns=cols)),
+        root, quantize=True, n_shards=2, n_pgroups=2, block_size=4,
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    ckpt = str(tmp_path / "ckpt")
+
+    def put(rows, name):
+        t = pa.table({
+            "ext_id": pa.array([r[0] for r in rows], pa.string()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "score": pa.array([r[3] for r in rows], pa.float64()),
+        })
+        papq.write_table(t, f"{feed}/{name}.parquet")
+
+    put(s1, "s1")
+    q = start_incremental_vector_index(spark, feed, root, ckpt)
+    assert q.awaitTermination(120), "first drain timed out"
+    put(s2, "s2")
+    q = start_incremental_vector_index(spark, feed, root, ckpt)
+    assert q.awaitTermination(120), "second drain timed out"
+
+    store = IndexStore(root)
+    m = store.meta_local()
+    # cold rebuild of ALL rows quantized with the SAME frozen range
+    all_rows = spark.createDataFrame(
+        pd.DataFrame(base_rows + s1 + s2, columns=cols)
+    )
+    root2 = str(tmp_path / "rebuilt")
+    from ciff_spark.sources.jsonl_vectors import build_index_from_vector_rows as bld
+    from ciff_spark.plans.rank import add_dense_docid, release_rank_cache
+    # emulate frozen-range rebuild: quantize manually, then index unquantized
+    rowsq = quantize_scores(all_rows, True, range_=(m["q_lo"], m["q_hi"]))
+    bld(
+        spark,
+        rowsq.select("ext_id", "pos", "term", F.col("tf").cast("double").alias("score")),
+        root2, quantize=False, n_shards=2, n_pgroups=2, block_size=4,
+    )
+    for query in ("a b", "c", "a b c"):
+        fresh = FreshSearcher(root).search(query, k=10, scoring="impact")
+        cold = LocalSearcher(root2).search(query, k=10, scoring="impact")
+        assert fresh == cold, query
