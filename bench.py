@@ -8,11 +8,15 @@ Default mode (the driver's per-round run): times the headline operators at
 Extra context fields (turns/sec, config) ride along in the same object.
 All progress chatter goes to stderr.
 
-``--scaling`` mode: runs the transcript index build at N and 4N pinned cores
-(fresh JVM each, same deterministic staged input, interleaved repeated
-pairs) — the sandbox stand-in for the north-rule's N vs 4N executor
-criterion — and writes BENCH/SCALING_RUN.md with throughput at both sizes
-and EVERY pair's scaling efficiency (BENCH/BASELINE.md is hand-curated).
+``--scaling`` mode (the sandbox stand-in for the north-rule's N vs 4N
+executor criterion): since r4 it runs the CONCURRENT same-window protocol
+at 4× corpus by default — both pinned legs simultaneously on disjoint core
+sets (co-tenant steal hits them in the same window by construction), 400k
+convs unless ``--convs`` is explicit (small corpora measure the fixed
+serial component, not the build — BENCH/BASELINE.md's Amdahl fit).
+``--scaling-serialized`` keeps the legacy interleaved-pairs protocol with
+per-pair bracketed hardware-ceiling probes; it writes
+BENCH/SCALING_RUN.md (BENCH/BASELINE.md is hand-curated).
 """
 
 from __future__ import annotations
