@@ -376,6 +376,7 @@ WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
 
 KMEANS_K = 4
 KMEANS_ITERS = 3
+_KMEANS_CACHE: dict[tuple, list[list[float]]] = {}
 
 
 def _sqdist_to(c: list[float]) -> Column:
@@ -419,7 +420,15 @@ def kmeans_centroids(
 
     Per iteration: one distributed assignment pass (codegen'd expressions,
     no UDF) + one (cluster, dim) aggregation; only the k×DIM centroid table
-    ever reaches the driver — the 100 TB shape for Lloyd's on Spark."""
+    ever reaches the driver — the 100 TB shape for Lloyd's on Spark.
+
+    Memoized per (sf_dir, k, iters): the result is a deterministic pure
+    function of the embeddings table, and the three kmeans driver entries
+    would otherwise each retrain the same quantizer."""
+    key = (sf_dir, k, iters)
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     init = (
         emb.where(F.col("vec_id") < k)
@@ -443,6 +452,7 @@ def kmeans_centroids(
             [by_cl[j][i] for i in range(len(cents[j]))] if j in by_cl else cents[j]
             for j in range(k)
         ]
+    _KMEANS_CACHE[key] = cents
     return cents
 
 
