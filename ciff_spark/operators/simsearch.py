@@ -4,9 +4,11 @@
   and norms are ``aggregate``/``zip_with`` expressions inside whole-stage
   codegen (double precision — DuckDB's ``list_cosine_similarity`` is float32,
   so the oracle SQL computes cosine manually in double via positional unnest).
-- IVF-style partitioned search: restrict to the query's coarse cluster (the
-  ``label`` column plays the centroid-assignment role) — the scale path that
-  scans 1/|clusters| of the corpus.
+- IVF partitioned search: restrict to the query's coarse cell — the scale
+  path that scans 1/|clusters| of the corpus. Two quantizers: the ``label``
+  column as a given assignment (``ann_ivf_label``) and a TRAINED
+  fixed-iteration Lloyd's k-means (``ann_ivf_kmeans``, cross-engine
+  reproducible; ``_probe2`` scans the two nearest cells).
 - near-dup pairs: cosine ≥ threshold over candidate pairs.
 - random-hyperplane LSH bucketing: deterministic md5-derived hyperplanes →
   sign-bit bucket per vector; the bucket-join is the 100 TB candidate
