@@ -122,6 +122,12 @@ def build_index(
 
     done = _done_pgroups(store, spark)
     todo = [g for g in range(cfg.n_pgroups) if g not in done]
+    if resume and done and todo:
+        # legacy-schema guard: a pre-r4 partial build has 6-field block
+        # structs (no min_docid); resuming would append 7-field pgroups
+        # beside them — the mixed nested schema the serving readers'
+        # pyarrow scans refuse to unify. Fail loud here instead of there.
+        _check_resume_block_schema(store, done)
     if (
         resume and not todo
         and all(store.exists(t) for t in ("meta", "docs", "shard_sizes", "term_stats"))
@@ -543,6 +549,31 @@ def _pgroup_file_stats(store: IndexStore, pgroup: int) -> tuple[int, int, int]:
         if nr:
             postings += sum(papq.read_table(f, columns=["df"])["df"].to_pylist())
     return rows, postings, nbytes
+
+
+def _check_resume_block_schema(store: IndexStore, done: set[int]) -> None:
+    """Resume-time schema guard: inspect ONE completed pgroup file and fail
+    loud when its block struct lacks ``min_docid`` (an index begun before
+    width-capped blocks) — the current encoder would otherwise append
+    incompatible 7-field structs beside the legacy 6-field ones. Driver-side
+    footer read, no Spark job."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    for g in sorted(done):
+        files = glob.glob(f"{store.path('postings')}/pgroup={g}/*.parquet")
+        if not files:
+            continue
+        blocks_field = papq.ParquetFile(files[0]).schema_arrow.field("blocks")
+        struct = blocks_field.type.value_type
+        if "min_docid" not in [struct.field(i).name for i in range(struct.num_fields)]:
+            raise ValueError(
+                f"cannot resume: completed pgroup {g} was written without "
+                "min_docid block metadata (pre-width-cap index); rebuild "
+                "with resume=False"
+            )
+        return  # one completed pgroup is representative — all share the encoder
 
 
 def _done_pgroups(store: IndexStore, spark) -> set[int]:

@@ -515,15 +515,20 @@ def export_index_to_ciff(
         first_docid = None
         n_msgs = 0
         for pdf in iterator:
-            for r in pdf.itertuples(index=False):
+            # positional column access (pdf[c]) — itertuples renames columns
+            # that aren't valid Python identifiers (or duplicates) to _N
+            # fields, which would AttributeError a getattr-by-name here
+            for docid, doclength, *ids in zip(
+                pdf["docid"], pdf["doclength"], *(pdf[c] for c in id_cols)
+            ):
                 rec = CiffDocRecord(
-                    docid=int(r.docid),
-                    collection_docid=sep.join(str(getattr(r, c)) for c in id_cols),
-                    doclength=int(r.doclength),
+                    docid=int(docid),
+                    collection_docid=sep.join(str(v) for v in ids),
+                    doclength=int(doclength),
                 )
                 _frame(buf, _enc_doc_record(rec))
                 if first_docid is None:
-                    first_docid = int(r.docid)
+                    first_docid = int(docid)
                 n_msgs += 1
                 if buf.tell() >= cb:
                     yield pd.DataFrame(

@@ -39,6 +39,17 @@ NEARDUP_BLOCKS = 8  # row-block count for the exact all-pairs gemm
 DIM = 64
 
 
+def _round6_half_up(x: float) -> float:
+    """Round to 6 decimals, halves UP — the ONE rounding rule all three
+    engines share for driver-side distance math: Spark's ``F.round`` is
+    HALF_UP and the DuckDB oracle rounds half away from zero, while Python's
+    built-in ``round`` is banker's (half-even). Distances here are ≥ 0, so
+    half-up and half-away-from-zero coincide."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -476,7 +487,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcell = min(
         range(len(cents)),
         key=lambda j: (
-            round(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j])), 6), j
+            _round6_half_up(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j]))), j
         ),
     )
     emb = load(spark, sf_dir, "embeddings")
@@ -497,7 +508,7 @@ def ann_ivf_kmeans_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids(spark, sf_dir)
     q, _ = _query_vec(spark, sf_dir, 0)
     ranked = sorted(
-        (round(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j])), 6), j)
+        (_round6_half_up(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j]))), j)
         for j in range(len(cents))
     )
     cells = [j for _, j in ranked[:2]]

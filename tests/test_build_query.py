@@ -307,3 +307,47 @@ def test_resume_after_crash(spark, built, tmp_path):
     assert sorted(done.partition_id.unique()) == list(range(8))
     # resumed run must NOT have re-processed the first 2 batches' pgroups
     assert len(done) == 8
+
+
+def test_resume_rejects_legacy_block_schema(spark, tmp_path):
+    """Resuming a partial build whose COMPLETED pgroups lack min_docid block
+    metadata (pre-width-cap index) must fail loud — appending 7-field block
+    structs beside legacy 6-field ones is the mixed nested schema the
+    serving readers refuse to unify."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    df = transcripts_df(spark, N_CONVS, seed=42, partitions=4)
+    root = str(tmp_path / "idx_legacy")
+    cfg = BuildConfig(n_shards=4, n_pgroups=8, block_size=16, pgroup_batches=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            df, root,
+            config=BuildConfig(**{**cfg.__dict__, "fail_after_batches": 2}),
+            resume=False,
+        )
+    # rewrite the completed pgroups' files WITHOUT min_docid (what a pre-r4
+    # encoder would have written)
+    rewrote = 0
+    for f in glob.glob(f"{root}/postings/pgroup=*/*.parquet"):
+        t = papq.read_table(f)
+        blocks = t.column("blocks").combine_chunks()
+        st = blocks.values
+        keep = [
+            st.type.field(i).name
+            for i in range(st.type.num_fields)
+            if st.type.field(i).name != "min_docid"
+        ]
+        legacy_struct = pa.StructArray.from_arrays(
+            [st.field(n) for n in keep], keep
+        )
+        legacy_blocks = pa.ListArray.from_arrays(blocks.offsets, legacy_struct)
+        cols = {n: t.column(n) for n in t.column_names}
+        cols["blocks"] = legacy_blocks
+        papq.write_table(pa.table(cols), f)
+        rewrote += 1
+    assert rewrote > 0
+    with pytest.raises(ValueError, match="min_docid"):
+        build_index(df, root, config=cfg, resume=True)
