@@ -235,23 +235,81 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
         sel_ratio = _ratio(sel_qs)
         log(f"zipf prune decode ratio: {zipf_ratio:.3f} (mixed) {sel_ratio:.3f} (selective)")
         # serving-path A/B on identical queries: LocalSearcher = Block-Max
-        # WAND kernel; FreshSearcher (no segments) = the exhaustive scorer
-        # over the same artifact. Fresh instance per query on both sides
-        # (cold decode, warm page cache) — the wall gap IS the pruning win;
-        # rank-identity of the two engines is pytest-asserted.
+        # WAND kernel; FreshSearcher(prune=False) (no segments) = the
+        # exhaustive scorer over the same artifact. Fresh instance per query
+        # on both sides (cold decode, warm page cache) — the wall gap IS the
+        # pruning win; rank-identity of the two engines is pytest-asserted.
         from ciff_spark.serve import FreshSearcher
 
-        def _serve_lats(cls) -> list[float]:
+        def _mk_wand():
+            s = LocalSearcher(troot)
+            return lambda q: s.search(q, k=10)
+
+        def _mk_exhaustive():
+            s = FreshSearcher(troot)
+            return lambda q: s.search(q, k=10, prune=False)
+
+        def _serve_lats(mk_search) -> list[float]:
             out = []
             for q in zipf_qs:
-                s = cls(troot)  # index open / dl / stats load NOT timed
-                out.append(_timed(lambda: s.search(q, k=10))[0])
+                s = mk_search()  # index open / dl / stats load NOT timed
+                out.append(_timed(lambda: s(q))[0])
             return sorted(out)
 
-        wl = _serve_lats(LocalSearcher)
-        el = _serve_lats(FreshSearcher)
+        wl = _serve_lats(_mk_wand)
+        el = _serve_lats(_mk_exhaustive)
         queries["zipf_serve_wand_p50_ms"] = round(wl[len(wl) // 2] * 1000, 2)
         queries["zipf_serve_exhaustive_p50_ms"] = round(el[len(el) // 2] * 1000, 2)
+
+        # fresh serving: same index + a streamed segment (~2.5% of the
+        # corpus). Pruned fresh (segments exhaustive → θ seed → Block-Max
+        # WAND over the base) vs fully exhaustive fresh — the pruning win
+        # must survive the moment a segment exists (the r4 gap).
+        from ciff_spark.sources.transcripts import transcripts_df
+        from ciff_spark.store import IndexStore
+        from ciff_spark.streaming.incremental import append_batch
+
+        froot = f"/tmp/ciff_bench_idx/transcripts_fresh_{n_convs}_{cores}"
+        shutil.rmtree(froot, ignore_errors=True)
+        shutil.copytree(troot, froot)
+        append_batch(
+            spark, IndexStore(froot),
+            transcripts_df(spark, max(200, n_convs // 40), seed=4242, partitions=8),
+            0,
+        )
+
+        def _mk_fresh(prune: bool):
+            def mk():
+                s = FreshSearcher(froot)
+                return lambda q: s.search(q, k=10, prune=prune)
+
+            return mk
+
+        fl = _serve_lats(_mk_fresh(True))
+        fe = _serve_lats(_mk_fresh(False))
+        queries["fresh_serve_pruned_p50_ms"] = round(fl[len(fl) // 2] * 1000, 2)
+        queries["fresh_serve_exhaustive_p50_ms"] = round(fe[len(fe) // 2] * 1000, 2)
+        log(
+            f"fresh serve p50 (segmented): pruned "
+            f"{queries['fresh_serve_pruned_p50_ms']}ms vs exhaustive "
+            f"{queries['fresh_serve_exhaustive_p50_ms']}ms"
+        )
+
+        # batch serving: ONE union-of-terms fetch for the whole query batch
+        # vs a cold per-query loop on the same fresh searcher — the
+        # amortization a query front-end gets from LocalSearcher.search_batch
+        sec_b, _ = _timed(lambda: LocalSearcher(troot).search_batch(zipf_qs, k=10))
+        def _cold_loop():
+            s = LocalSearcher(troot)
+            for q in zipf_qs:
+                s.search(q, k=10)
+        sec_s, _ = _timed(_cold_loop)
+        queries["zipf_serve_batch10_ms"] = round(sec_b * 1000, 2)
+        queries["zipf_serve_seq10_ms"] = round(sec_s * 1000, 2)
+        log(
+            f"batch serving: {queries['zipf_serve_batch10_ms']}ms for 10 queries "
+            f"vs sequential {queries['zipf_serve_seq10_ms']}ms"
+        )
         # distributed batch on the same queries: reported for completeness —
         # at bench scale the per-job scan/shuffle dominates both modes, so
         # the pruning win shows in the serving walls above, not here

@@ -66,6 +66,10 @@ class BuildConfig:
         # blocks with REAL coverage gaps (block min_docid), which is what
         # lets Block-Max WAND skip on selective queries; None = count-only
         # blocks (pre-r4 geometry, still readable)
+    span_adaptive: bool = True  # per-list cap: only lists whose avg docid
+        # gap exceeds SPAN_ADAPT_FACTOR·block_span/block_size are width-
+        # capped — dense lists keep clean block_size-posting blocks (see
+        # codec.SPAN_ADAPT_FACTOR); False = fixed r4 cap on every list
     n_pgroups: int = 32         # term-hash output partitions (resume granularity)
     pgroup_batches: int = 1     # checkpoint batches (1 = single job, fastest)
     tokenizer: str = "builtin"  # "builtin" (JVM regex) | "pandas" (Arrow UDF)
@@ -331,6 +335,7 @@ def build_index(
             _clean_partial_pgroups(store, todo)
             block_size = cfg.block_size
             block_span = cfg.block_span
+            span_adaptive = cfg.span_adaptive
             avgdl_c = avgdl
             n_pgroups = cfg.n_pgroups
             shard_size_c = shard_size
@@ -408,6 +413,7 @@ def build_index(
                     term_codes=codes[starts],
                     term_dict=vocab,
                     block_span=block_span,
+                    span_adaptive=span_adaptive,
                 )
 
             n_batches = max(1, min(cfg.pgroup_batches, len(todo)))

@@ -23,7 +23,16 @@ north-rule mandates:
   ``min_docid`` exposes the coverage gaps between a sparse list's blocks,
   which is where the pruning win lives), ``max_tf``, and ``max_tfnorm``
   (the exact per-block BM25 tf-normalization upper bound, computed from
-  true doc lengths at build time) for WAND pruning;
+  true doc lengths at build time, stored ceil-rounded at BOUND_DECIMALS)
+  for WAND pruning;
+- SINGLE-POSTING blocks are IMPLICIT: width-capping a Zipf tail splits most
+  sparse lists into 1-posting blocks (63% of all blocks on the 131k-turn
+  corpus), whose min_docid == max_docid, max_tfnorm derives from (max_tf,
+  dl[max_docid]) and whose bins re-encode the two stored fields — so they
+  persist as (count=1, max_docid, max_tf, NULL, NULL, b"", b""). Readers
+  synthesize the arrays (``decode_block``) and the kernel sets lo = hi and
+  derives the bound. Measured: 28.7 → 24.8 MB postings on that corpus, no
+  decode-ratio/serving change;
 - all integers are LEB128 varints, encoded/decoded with vectorized NumPy —
   no per-value Python in the hot path.
 
@@ -39,14 +48,43 @@ from ciff_spark.functions.scoring import tfnorm_np, tfnorm_upper_bound
 
 BLOCK_SIZE = 128
 #: docid-width cap per block (None = unbounded, pre-r4 geometry). 256 = 2×
-#: BLOCK_SIZE: never binds on dense lists (128 postings of a dense list span
-#: ~130 docids) while splitting sparse lists into narrow blocks with real
-#: gaps between them. Measured trade on the 131k-turn Zipf corpus
-#: (postings bytes / zipf-mix decode ratio / selective decode ratio):
+#: BLOCK_SIZE: splits sparse lists into narrow blocks with real gaps between
+#: them. Measured trade on the 131k-turn Zipf corpus with the FIXED
+#: (non-adaptive) cap (postings bytes / zipf-mix decode ratio / selective
+#: decode ratio):
 #: span 512 → 26.0 MB / 0.42 / 0.19; 256 → 28.6 MB / 0.32 / 0.16;
 #: 128 → 31.7 MB / 0.24 / 0.09; unbounded → 18.8 MB / 0.99 / 0.74.
 #: Build wall is span-independent (same-window A/B: 11.0 s vs 10.7 s).
 BLOCK_SPAN = 256
+
+#: Adaptive per-list span (the default): a (term, shard) list is width-capped
+#: ONLY when a full ``block_size``-posting block of it would span more than
+#: ``SPAN_ADAPT_FACTOR × block_span`` docids — i.e. its average docid gap
+#: exceeds SPAN_ADAPT_FACTOR · block_span / block_size (> 4 at the 128/256
+#: defaults). Dense lists (stopwords, hot terms) thus keep clean
+#: block_size-posting blocks: window-capping them bought no pruning (their
+#: blocks are narrow already) but fragmented runt blocks at every window
+#: edge — the fixed cap's +52% block-metadata bytes and the dense-corpus
+#: build regression. Sparse lists — where the min_docid coverage gaps and
+#: the WAND decode-ratio win live — keep the measured span=256 geometry
+#: bit-identically. The decision is a pure function of the complete list
+#: (the encoders see whole (term, shard) groups), so geometry stays
+#: deterministic. Measured on the 131k-turn Zipf corpus: see BENCH/BASELINE.md
+#: round-5 adaptive-span study.
+SPAN_ADAPT_FACTOR = 2
+
+#: per-block tf-bound precision: max_tfnorm is stored rounded UP to this many
+#: decimals — still a true upper bound (pruning gets ≤ 1e-4 looser, scores
+#: are decoded exactly regardless), and the collapsed value set lets parquet
+#: dictionary-encode the column (~2.5 MB → ~0.4 MB on the 131k-turn Zipf
+#: corpus)
+BOUND_DECIMALS = 4
+
+
+def _ceil_bound(x):
+    """Round a tf bound UP at BOUND_DECIMALS (vectorized or scalar)."""
+    scale = 10.0 ** BOUND_DECIMALS
+    return np.ceil(np.asarray(x, np.float64) * scale) / scale
 
 #: Spark SQL type of one encoded block (postings tables store array<BLOCK_TYPE>).
 #: min_docid is nullable for indexes written before width-capped blocks; the
@@ -62,15 +100,33 @@ def _window_block_starts(
     new_grp: np.ndarray,
     block_size: int,
     block_span: int | None,
+    adaptive: bool = True,
 ) -> np.ndarray:
     """Indices where a new block begins: at every group start, every
-    ``block_span``-aligned docid window change, and every ``block_size``-th
-    posting within a (group, window) run. Fully vectorized."""
+    ``block_span``-aligned docid window change (width-capped groups only,
+    when ``adaptive``), and every ``block_size``-th posting within a
+    (group, window) run. Fully vectorized.
+
+    ``adaptive``: width-cap only the groups whose average docid gap exceeds
+    ``SPAN_ADAPT_FACTOR · block_span / block_size`` (see SPAN_ADAPT_FACTOR);
+    dense groups keep uncapped block_size-posting blocks. ``False`` restores
+    the fixed-span r4 geometry (every group capped)."""
     n = len(docids)
     new_win = new_grp.copy()
     if block_span:
         w = docids // int(block_span)
-        new_win[1:] |= w[1:] != w[:-1]
+        win_break = np.zeros(n, bool)
+        win_break[1:] = w[1:] != w[:-1]
+        if adaptive:
+            grp_start = np.flatnonzero(new_grp)
+            grp_end = np.append(grp_start[1:], n)
+            width = docids[grp_end - 1] - docids[grp_start]
+            span = np.maximum(grp_end - grp_start - 1, 1)  # gaps per group
+            # sparse ⇔ avg_gap · block_size > SPAN_ADAPT_FACTOR · block_span
+            sparse_g = width * block_size > SPAN_ADAPT_FACTOR * int(block_span) * span
+            grp_id = np.cumsum(new_grp) - 1
+            win_break &= sparse_g[grp_id]
+        new_win |= win_break
     win_start = np.flatnonzero(new_win)
     win_id = np.cumsum(new_win) - 1
     local = np.arange(n) - win_start[win_id]
@@ -140,6 +196,7 @@ def encode_postings(
     avgdl: float | None = None,
     block_size: int = BLOCK_SIZE,
     block_span: int | None = BLOCK_SPAN,
+    span_adaptive: bool = True,
 ) -> list[dict]:
     """Encode one posting list (docids strictly ascending, tfs > 0) into blocks.
 
@@ -167,7 +224,9 @@ def encode_postings(
     gaps[1:] = np.diff(docids)
     one_grp = np.zeros(n, bool)
     one_grp[0] = True
-    block_starts = _window_block_starts(docids, one_grp, block_size, block_span)
+    block_starts = _window_block_starts(
+        docids, one_grp, block_size, block_span, span_adaptive
+    )
 
     doc_buf, doc_lens = varint_encode(gaps.astype(np.uint64))
     tf_buf, tf_lens = varint_encode(tfs.astype(np.uint64))
@@ -182,10 +241,29 @@ def encode_postings(
     ends = np.append(block_starts[1:], n)
     blocks = []
     for s, e in zip(block_starts, ends):
+        if e - s == 1:
+            # implicit single-posting block: the posting IS (max_docid,
+            # max_tf) — min_docid/max_tfnorm/bins all derive from it at read
+            # time (62% of a Zipf corpus's width-capped blocks are singles;
+            # dropping their redundant fields is most of the block-metadata
+            # byte cost). Readers: decode_block synthesizes the arrays; the
+            # WAND kernel sets lo=hi and derives the tf bound from max_tf.
+            blocks.append(
+                {
+                    "count": 1,
+                    "min_docid": None,
+                    "max_docid": int(docids[s]),
+                    "max_tf": int(tfs[s]),
+                    "max_tfnorm": None,
+                    "docs_bin": b"",
+                    "tfs_bin": b"",
+                }
+            )
+            continue
         if tfnorms is not None:
-            max_tfnorm = float(tfnorms[s:e].max())
+            max_tfnorm = float(_ceil_bound(tfnorms[s:e].max()))
         else:
-            max_tfnorm = tfnorm_upper_bound(float(tfs[s:e].max()))
+            max_tfnorm = float(_ceil_bound(tfnorm_upper_bound(float(tfs[s:e].max()))))
         blocks.append(
             {
                 "count": int(e - s),
@@ -209,6 +287,7 @@ def encode_many(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
     block_span: int | None = BLOCK_SPAN,
+    span_adaptive: bool = True,
 ):
     """Encode MANY posting lists at once — the whole-partition fast path.
 
@@ -246,7 +325,9 @@ def encode_many(
     if (tfs <= 0).any():
         raise ValueError("tfs must be positive")
 
-    blk_start = _window_block_starts(docids, new_grp, block_size, block_span)
+    blk_start = _window_block_starts(
+        docids, new_grp, block_size, block_span, span_adaptive
+    )
     blk_end = np.empty(len(blk_start), np.int64)
     blk_end[:-1] = blk_start[1:]
     blk_end[-1] = n
@@ -263,6 +344,7 @@ def encode_many(
         # dl-free true upper bound (sup over dl→0) — used when the doclength
         # array is too large to broadcast; looser pruning, same exactness
         max_tfn = tfnorm_upper_bound(max_tf.astype(np.float64))  # broadcasts
+    max_tfn = _ceil_bound(max_tfn)
 
     dbuf, dlens = varint_encode(gaps.astype(np.uint64))
     tbuf, tlens = varint_encode(tfs.astype(np.uint64))
@@ -281,6 +363,17 @@ def encode_many(
     for gi in range(g):
         blocks = [
             {
+                # implicit single-posting block (see encode_postings)
+                "count": 1,
+                "min_docid": None,
+                "max_docid": int(max_docid[b]),
+                "max_tf": int(max_tf[b]),
+                "max_tfnorm": None,
+                "docs_bin": b"",
+                "tfs_bin": b"",
+            }
+            if counts[b] == 1
+            else {
                 "count": int(counts[b]),
                 "min_docid": int(min_docid[b]),
                 "max_docid": int(max_docid[b]),
@@ -309,6 +402,7 @@ def encode_arrow_batch(
     term_codes: np.ndarray | None = None,
     term_dict=None,
     block_span: int | None = BLOCK_SPAN,
+    span_adaptive: bool = True,
 ):
     """Arrow-native multi-group encoder: same output as ``encode_many`` but
     with ZERO per-group Python objects. Terms stay an Arrow string array
@@ -352,7 +446,9 @@ def encode_arrow_batch(
     if (tfs <= 0).any():
         raise ValueError("tfs must be positive")
 
-    blk_start = _window_block_starts(docids, new_grp, block_size, block_span)
+    blk_start = _window_block_starts(
+        docids, new_grp, block_size, block_span, span_adaptive
+    )
     blk_end = np.empty(len(blk_start), np.int64)
     blk_end[:-1] = blk_start[1:]
     blk_end[-1] = n
@@ -368,6 +464,7 @@ def encode_arrow_batch(
         max_tfn = np.maximum.reduceat(tfnorm, blk_start)
     else:
         max_tfn = tfnorm_upper_bound(max_tf.astype(np.float64))
+    max_tfn = _ceil_bound(max_tfn)
 
     dbuf, dlens = varint_encode(gaps.astype(np.uint64))
     tbuf, tlens = varint_encode(tfs.astype(np.uint64))
@@ -384,21 +481,46 @@ def encode_arrow_batch(
             f"encoded partition exceeds 2GiB ({doff[-1]}/{toff[-1]} bytes); "
             "increase n_pgroups so per-partition posting bytes fit int32 offsets"
         )
-    d_offsets = np.append(doff[blk_start], doff[-1]).astype(np.int32)
-    t_offsets = np.append(toff[blk_start], toff[-1]).astype(np.int32)
+    # implicit single-posting blocks (see encode_postings): their bins are
+    # empty and min_docid/max_tfnorm null. Compact the shared varint buffers
+    # so singles' (redundant) bytes never reach the file — vectorized byte
+    # drop via a range-marking cumsum, no per-block Python
+    single = counts == 1
+    d_blen = doff[blk_end] - doff[blk_start]
+    t_blen = toff[blk_end] - toff[blk_start]
+    if single.any():
+        d_blen = d_blen.copy()
+        t_blen = t_blen.copy()
+        d_blen[single] = 0
+        t_blen[single] = 0
+
+        def _drop_ranges(buf, off):
+            mark = np.zeros(len(buf) + 1, np.int64)
+            np.add.at(mark, off[blk_start[single]], 1)
+            np.add.at(mark, off[blk_end[single]], -1)
+            return buf[np.cumsum(mark[:-1]) == 0]
+
+        dbuf = _drop_ranges(dbuf, doff)
+        tbuf = _drop_ranges(tbuf, toff)
+    d_offsets = np.zeros(nb + 1, np.int64)
+    np.cumsum(d_blen, out=d_offsets[1:])
+    t_offsets = np.zeros(nb + 1, np.int64)
+    np.cumsum(t_blen, out=t_offsets[1:])
     docs_bin = pa.Array.from_buffers(
-        pa.binary(), nb, [None, pa.py_buffer(d_offsets.tobytes()), pa.py_buffer(dbuf.tobytes())]
+        pa.binary(), nb,
+        [None, pa.py_buffer(d_offsets.astype(np.int32).tobytes()), pa.py_buffer(dbuf.tobytes())],
     )
     tfs_bin = pa.Array.from_buffers(
-        pa.binary(), nb, [None, pa.py_buffer(t_offsets.tobytes()), pa.py_buffer(tbuf.tobytes())]
+        pa.binary(), nb,
+        [None, pa.py_buffer(t_offsets.astype(np.int32).tobytes()), pa.py_buffer(tbuf.tobytes())],
     )
     block_struct = pa.StructArray.from_arrays(
         [
             pa.array(counts, pa.int32()),
-            pa.array(min_docid, pa.int64()),
+            pa.array(min_docid, pa.int64(), mask=single),
             pa.array(max_docid, pa.int64()),
             pa.array(max_tf, pa.int32()),
-            pa.array(max_tfn, pa.float64()),
+            pa.array(max_tfn, pa.float64(), mask=single),
             docs_bin,
             tfs_bin,
         ],
@@ -428,13 +550,37 @@ def encode_arrow_batch(
 
 
 def decode_block(
-    docs_bin: bytes, tfs_bin: bytes, count: int, prev_max_docid: int
+    docs_bin: bytes,
+    tfs_bin: bytes,
+    count: int,
+    prev_max_docid: int,
+    max_docid: int | None = None,
+    max_tf: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one block given the previous block's max_docid (−1 for first)."""
+    """Decode one block given the previous block's max_docid (−1 for first).
+
+    Implicit single-posting blocks (count == 1, empty bins — see
+    encode_postings) synthesize their arrays from the block metadata; callers
+    pass ``max_docid``/``max_tf`` to enable that path."""
+    if count == 1 and not docs_bin:
+        if max_docid is None or max_tf is None:
+            raise ValueError(
+                "implicit single-posting block needs max_docid/max_tf"
+            )
+        return np.array([max_docid], np.int64), np.array([max_tf], np.int64)
     gaps = varint_decode(docs_bin, count).astype(np.int64)
     docids = gaps.cumsum() + prev_max_docid
     tfs = varint_decode(tfs_bin, count).astype(np.int64)
     return docids, tfs
+
+
+def decode_block_dict(blk: dict, prev_max_docid: int) -> tuple[np.ndarray, np.ndarray]:
+    """``decode_block`` over a block mapping (dict / pyarrow struct scalar /
+    Spark Row) — the one decode entry point every reader should use."""
+    return decode_block(
+        blk["docs_bin"], blk["tfs_bin"], blk["count"], prev_max_docid,
+        blk["max_docid"], blk["max_tf"],
+    )
 
 
 def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
@@ -444,9 +590,7 @@ def decode_postings(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
     doc_parts, tf_parts = [], []
     prev_max = -1
     for blk in blocks:
-        d, t = decode_block(
-            blk["docs_bin"], blk["tfs_bin"], blk["count"], prev_max
-        )
+        d, t = decode_block_dict(blk, prev_max)
         doc_parts.append(d)
         tf_parts.append(t)
         prev_max = int(blk["max_docid"])

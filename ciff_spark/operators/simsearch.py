@@ -390,6 +390,31 @@ WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
 KMEANS_K = 4
 KMEANS_ITERS = 3
 _KMEANS_CACHE: dict[tuple, list[list[float]]] = {}
+#: root for materialized cluster-partitioned IVF layouts (content-addressed
+#: by the embeddings table's fingerprint — never stale, safe to clear)
+IVF_MATERIALIZE_ROOT = "/tmp/ciff_spark_ivf"
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint (path, size, mtime_ns per file) of the embeddings
+    table. Keys the k-means memo AND the materialized IVF layout, so a table
+    rewritten in place under a live session retrains/rematerializes instead
+    of serving stale centroids or a stale partition layout."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+    )
+    h = hashlib.md5()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
 
 
 def _sqdist_to(c: list[float]) -> Column:
@@ -435,10 +460,11 @@ def kmeans_centroids(
     no UDF) + one (cluster, dim) aggregation; only the k×DIM centroid table
     ever reaches the driver — the 100 TB shape for Lloyd's on Spark.
 
-    Memoized per (sf_dir, k, iters): the result is a deterministic pure
-    function of the embeddings table, and the three kmeans driver entries
-    would otherwise each retrain the same quantizer."""
-    key = (sf_dir, k, iters)
+    Memoized per (embeddings fingerprint, k, iters): the result is a
+    deterministic pure function of the embeddings table — the fingerprint
+    (file sizes + mtimes) keys the memo so a rewritten table retrains while
+    the driver entries sharing one immutable table train once."""
+    key = (_embeddings_fingerprint(sf_dir), k, iters)
     hit = _KMEANS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -478,48 +504,75 @@ def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", _assign_cluster(cents).cast("int").alias("cluster"))
 
 
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search with the trained quantizer: scan ONLY the query's coarse
-    cell (vectors assigned to the query's nearest final centroid), exact
-    cosine within it — the scale path scans 1/k of the corpus."""
-    cents = kmeans_centroids(spark, sf_dir)
-    q, _ = _query_vec(spark, sf_dir, 0)
-    qcell = min(
-        range(len(cents)),
-        key=lambda j: (
-            _round6_half_up(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j]))), j
-        ),
+def ivf_materialized(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """Materialize the IVF layout ONCE: the embeddings rewritten
+    cluster-PARTITIONED under the trained quantizer (``partitionBy(cluster)``
+    — one assignment pass at build time). Queries then PRUNE PARTITIONS to
+    their probed cells instead of re-evaluating k distances per row per
+    query — the IVF storage contract (scan 2/k of the *storage*). The layout
+    is content-addressed by the embeddings fingerprint + (k, iters), so a
+    rewritten table rematerializes and the build is a no-op when current.
+    Returns the layout path."""
+    import os
+
+    root = (
+        f"{IVF_MATERIALIZE_ROOT}/{_embeddings_fingerprint(sf_dir)}_k{k}i{iters}"
     )
+    if os.path.exists(f"{root}/_SUCCESS"):
+        return root
+    cents = kmeans_centroids(spark, sf_dir, k, iters)
     emb = load(spark, sf_dir, "embeddings")
+    (
+        emb.withColumn("cluster", _assign_cluster(cents).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(root)
+    )
+    return root
+
+
+def _probe_cells(spark: SparkSession, sf_dir: str, q: list[float], nprobe: int) -> list[int]:
+    """The query's ``nprobe`` nearest coarse cells under the trained
+    quantizer — driver-side math over k centroids (half-up rounding: the one
+    rule the Spark assignment and the DuckDB oracle share)."""
+    cents = kmeans_centroids(spark, sf_dir)
+    ranked = sorted(
+        (_round6_half_up(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j]))), j)
+        for j in range(len(cents))
+    )
+    return [j for _, j in ranked[:nprobe]]
+
+
+def _ivf_kmeans_query(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared body of the trained-quantizer IVF entries: prune the
+    MATERIALIZED cluster-partitioned layout to the probed cells (partition
+    pruning — plan-guard-tested), exact cosine within them."""
+    q, _ = _query_vec(spark, sf_dir, 0)
+    cells = _probe_cells(spark, sf_dir, q, nprobe)
+    emb = spark.read.parquet(ivf_materialized(spark, sf_dir))
     return (
-        emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
-        .where((F.col("vec_id") != 0) & (F.col("cl") == qcell))
+        emb.where((F.col("vec_id") != 0) & F.col("cluster").isin(cells))
         .select("vec_id", F.round(_cos_to_query(q), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(K_IVF)
     )
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the trained quantizer: scan ONLY the query's coarse
+    cell — a pruned partition of the materialized IVF layout, exact cosine
+    within it. The scale path reads 1/k of the storage."""
+    return _ivf_kmeans_query(spark, sf_dir, nprobe=1)
 
 
 def ann_ivf_kmeans_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF (nprobe=2): scan the query's TWO nearest coarse
     cells — the standard recall knob for a trained quantizer (a true
     neighbor just across a cell boundary is invisible to nprobe=1); cost is
-    still 2/k of the corpus, never a full scan."""
-    cents = kmeans_centroids(spark, sf_dir)
-    q, _ = _query_vec(spark, sf_dir, 0)
-    ranked = sorted(
-        (_round6_half_up(sum((float(x) - c) ** 2 for x, c in zip(q, cents[j]))), j)
-        for j in range(len(cents))
-    )
-    cells = [j for _, j in ranked[:2]]
-    emb = load(spark, sf_dir, "embeddings")
-    return (
-        emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
-        .where((F.col("vec_id") != 0) & F.col("cl").isin(cells))
-        .select("vec_id", F.round(_cos_to_query(q), 6).alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(K_IVF)
-    )
+    still 2/k of the storage, never a full scan."""
+    return _ivf_kmeans_query(spark, sf_dir, nprobe=2)
 
 
 def _kmeans_sql_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
@@ -614,6 +667,273 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT {K_IVF}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace Lloyd's codebooks + ADC over
+# MATERIALIZED codes (the 100 TB ANN storage rung above IVF-Flat: the query
+# scans 2-bit codes per subspace — 16 B/vector here vs 256 B of floats —
+# never the raw vectors)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                 # subspaces
+PQ_DSUB = DIM // PQ_M    # dims per subspace
+PQ_K = 4                 # codebook size per subspace
+PQ_ITERS = 2
+_PQ_CACHE: dict[tuple, list] = {}
+
+
+def _sub_col(s: int) -> Column:
+    return F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB)
+
+
+def _sqdist_sub(s: int, c: list[float]) -> Column:
+    ccol = F.array(*[F.lit(x) for x in c])
+    return F.aggregate(
+        F.zip_with(
+            _sub_col(s), ccol,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_sub(s: int, subcents: list[list[float]]) -> Column:
+    """argmin over subspace-``s`` codewords of round(‖v_s−c‖², 6), ties to
+    the smaller code — same pins as the coarse quantizer."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(F.round(_sqdist_sub(s, c), 6).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(subcents)
+            ]
+        )
+    )["j"]
+
+
+def pq_codebooks(
+    spark: SparkSession, sf_dir: str,
+    m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Trained per-subspace codebooks ``[s][code][dsub]`` — fixed-iteration
+    Lloyd's run independently in each of the ``m`` subspaces, with the same
+    cross-engine pins as ``kmeans_centroids`` (init = first ``kc`` vectors'
+    subvectors rounded to 6; assignment on round(‖·‖²,6) with ties to the
+    smaller code; per-component round(avg,6); emptied codeword keeps its
+    previous value — the DuckDB oracle re-runs the identical unrolled
+    pipeline relationally with a subspace column).
+
+    Scale shape: per iteration ONE codegen'd assignment pass over the table
+    (m·kc sq-dist expressions, no UDF, no join) + ONE (s, code, dim)
+    aggregation; only the m×kc×dsub codebook reaches the driver."""
+    dsub = DIM // m
+    key = (_embeddings_fingerprint(sf_dir), "pq", m, kc, iters)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (
+        emb.where(F.col("vec_id") < kc)
+        .orderBy("vec_id")
+        .select(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("c"))
+        .collect()
+    )
+    cents = [
+        [[float(x) for x in r["c"][s * dsub : (s + 1) * dsub]] for r in init]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        assigned = emb.select(
+            "embedding",
+            *[_assign_sub(s, cents[s]).alias(f"c{s}") for s in range(m)],
+        )
+        scol = (F.col("i0") / F.lit(dsub)).cast("int")
+        clcol = F.element_at(F.array(*[F.col(f"c{s}") for s in range(m)]), scol + 1)
+        means = (
+            assigned.select(
+                F.posexplode("embedding").alias("i0", "vx"),
+                *[F.col(f"c{s}") for s in range(m)],
+            )
+            .select(
+                scol.alias("s"), clcol.alias("cl"),
+                F.pmod(F.col("i0"), F.lit(dsub)).alias("i"),
+                F.col("vx").cast("double").alias("vx"),
+            )
+            .groupBy("s", "cl", "i")
+            .agg(F.round(F.avg("vx"), 6).alias("cx"))
+            .collect()
+        )
+        by: dict[tuple, float] = {}
+        for r in means:
+            by[(int(r["s"]), int(r["cl"]), int(r["i"]))] = float(r["cx"])
+        cents = [
+            [
+                [by.get((s, j, i), cents[s][j][i]) for i in range(dsub)]
+                for j in range(kc)
+            ]
+            for s in range(m)
+        ]
+    _PQ_CACHE[key] = cents
+    return cents
+
+
+def pq_materialized(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PQ CODES table once: (vec_id, c0..c{m-1}) under the
+    trained codebooks — the compressed-domain representation ADC queries
+    scan INSTEAD of the embeddings (content-addressed like the IVF layout).
+    Returns the codes path."""
+    import os
+
+    root = (
+        f"{IVF_MATERIALIZE_ROOT}/{_embeddings_fingerprint(sf_dir)}"
+        f"_pq{PQ_M}x{PQ_K}i{PQ_ITERS}"
+    )
+    if os.path.exists(f"{root}/_SUCCESS"):
+        return root
+    cents = pq_codebooks(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    (
+        emb.select(
+            "vec_id",
+            *[_assign_sub(s, cents[s]).cast("int").alias(f"c{s}") for s in range(PQ_M)],
+        )
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    return root
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pq_code): every vector's packed product-quantization code
+    (Σ_s code_s · kc^s) from the materialized codes table — value-checked
+    against the oracle's relational re-derivation of the whole per-subspace
+    Lloyd's pipeline."""
+    codes = spark.read.parquet(pq_materialized(spark, sf_dir))
+    packed = None
+    for s in range(PQ_M):
+        term = F.col(f"c{s}") * F.lit(PQ_K**s)
+        packed = term if packed is None else packed + term
+    return codes.select("vec_id", packed.cast("bigint").alias("pq_code"))
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: the query builds an
+    m×kc lookup table of micro-scaled subspace distances driver-side, and
+    the scan sums ONE table lookup per subspace over the materialized CODES
+    — never touching the embeddings. Distances are exact-integer micro
+    units (½-up at 1e-6), so the cross-engine sum is order-independent."""
+    import math
+
+    cents = pq_codebooks(spark, sf_dir)
+    q, _ = _query_vec(spark, sf_dir, 0)
+    lut = [
+        [
+            int(
+                math.floor(
+                    sum(
+                        (float(q[s * PQ_DSUB + i]) - cents[s][j][i]) ** 2
+                        for i in range(PQ_DSUB)
+                    )
+                    * 1e6
+                    + 0.5
+                )
+            )
+            for j in range(PQ_K)
+        ]
+        for s in range(PQ_M)
+    ]
+    codes = spark.read.parquet(pq_materialized(spark, sf_dir))
+    dist = None
+    for s in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes.where(F.col("vec_id") != 0)
+        .select("vec_id", dist.cast("bigint").alias("adc_micro"))
+        .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+        .limit(K_IVF)
+    )
+
+
+def _pq_sql_ctes(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Unrolled per-subspace Lloyd's as DuckDB CTEs — ``_kmeans_sql_ctes``
+    generalized with a subspace column ``s`` (all subspaces train in one
+    relational pipeline). Exposes ``pc{iters}`` (final codebooks, columns
+    s/cl/i/cx) and ``pafin`` (final assignment, columns vec_id/s/cl)."""
+    dsub = DIM // m
+    parts = [
+        f"""psv AS (
+  SELECT vec_id, CAST((gi - 1) // {dsub} AS INTEGER) AS s,
+         (gi - 1) % {dsub} AS i, vx
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS gi,
+           CAST(unnest(embedding) AS DOUBLE) AS vx
+    FROM embeddings
+  )
+)""",
+        f"""pc0 AS (
+  SELECT vec_id AS cl, s, i, round(vx, 6) AS cx FROM psv WHERE vec_id < {kc}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"pc{t - 1}"
+        parts.append(f"""pd{t} AS (
+  SELECT psv.vec_id, c.s, c.cl,
+         round(sum((psv.vx - c.cx) * (psv.vx - c.cx)), 6) AS d
+  FROM psv JOIN {prev} c ON c.s = psv.s AND c.i = psv.i
+  GROUP BY psv.vec_id, c.s, c.cl
+)""")
+        parts.append(f"""pa{t} AS (
+  SELECT vec_id, s, cl FROM pd{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cl) = 1
+)""")
+        parts.append(f"""pm{t} AS (
+  SELECT a.s, a.cl, psv.i, round(avg(psv.vx), 6) AS cx
+  FROM pa{t} a JOIN psv ON psv.vec_id = a.vec_id AND psv.s = a.s
+  GROUP BY a.s, a.cl, psv.i
+)""")
+        parts.append(f"""pc{t} AS (
+  SELECT p.s, p.cl, p.i, COALESCE(m.cx, p.cx) AS cx
+  FROM {prev} p LEFT JOIN pm{t} m ON m.s = p.s AND m.cl = p.cl AND m.i = p.i
+)""")
+    parts.append(f"""pdfin AS (
+  SELECT psv.vec_id, c.s, c.cl,
+         round(sum((psv.vx - c.cx) * (psv.vx - c.cx)), 6) AS d
+  FROM psv JOIN pc{iters} c ON c.s = psv.s AND c.i = psv.i
+  GROUP BY psv.vec_id, c.s, c.cl
+)""")
+    parts.append("""pafin AS (
+  SELECT vec_id, s, cl FROM pdfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cl) = 1
+)""")
+    return ",\n".join(parts)
+
+
+ANN_PQ_CODES_SQL = f"""
+WITH {_pq_sql_ctes()}
+SELECT vec_id,
+       CAST(sum(cl * CAST(power({PQ_K}, s) AS BIGINT)) AS BIGINT) AS pq_code
+FROM pafin GROUP BY vec_id
+"""
+
+ANN_PQ_ADC_SQL = f"""
+WITH {_pq_sql_ctes()},
+pqs AS (SELECT s, i, vx AS qx FROM psv WHERE vec_id = 0),
+plut AS (
+  SELECT c.s, c.cl,
+         CAST(round(sum((q.qx - c.cx) * (q.qx - c.cx)) * 1000000, 0) AS BIGINT) AS dm
+  FROM pc{PQ_ITERS} c JOIN pqs q ON q.s = c.s AND q.i = c.i
+  GROUP BY c.s, c.cl
+)
+SELECT a.vec_id, CAST(sum(l.dm) AS BIGINT) AS adc_micro
+FROM pafin a JOIN plut l ON l.s = a.s AND l.cl = a.cl
+WHERE a.vec_id != 0
+GROUP BY a.vec_id
+ORDER BY adc_micro ASC, vec_id ASC LIMIT {K_IVF}
+"""
+
+
 def neardup_clusters(
     spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
 ) -> DataFrame:
@@ -659,6 +979,10 @@ QUERIES: dict[str, tuple] = {
     "ann_kmeans_clusters": (ann_kmeans_clusters, ANN_KMEANS_CLUSTERS_SQL),
     "ann_ivf_kmeans": (ann_ivf_kmeans, ANN_IVF_KMEANS_SQL),
     "ann_ivf_kmeans_probe2": (ann_ivf_kmeans_probe2, ANN_IVF_KMEANS_PROBE2_SQL),
+    # product quantization: per-subspace trained codebooks, materialized
+    # codes, compressed-domain ADC scan — oracle re-derives everything
+    "ann_pq_codes": (ann_pq_codes, ANN_PQ_CODES_SQL),
+    "ann_pq_adc_topk": (ann_pq_adc_topk, ANN_PQ_ADC_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
     "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
     "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),

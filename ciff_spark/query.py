@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ciff_spark.functions.codec import varint_decode
+from ciff_spark.functions.codec import decode_block_dict
 from ciff_spark.functions.scoring import (
     SCORE_DECIMALS,
     idf_col,
@@ -308,9 +308,9 @@ class IndexReader:
             for row in postings_pdf.itertuples(index=False):
                 d_parts, t_parts, prev = [], [], -1
                 for blk in row.blocks:
-                    gaps = varint_decode(blk["docs_bin"], blk["count"]).astype(np.int64)
-                    d_parts.append(gaps.cumsum() + prev)
-                    t_parts.append(varint_decode(blk["tfs_bin"], blk["count"]).astype(np.int64))
+                    d_, t_ = decode_block_dict(blk, prev)
+                    d_parts.append(d_)
+                    t_parts.append(t_)
                     prev = int(blk["max_docid"])
                 d = np.concatenate(d_parts)
                 tf = np.concatenate(t_parts)

@@ -48,8 +48,8 @@ class LocalSearcher:
         # block bounds are exact under the avgdl they were encoded with;
         # compaction can move the collection avgdl above it — inflate bounds
         # by the sup drift ratio so WAND pruning stays sound (see wand.py)
-        _ba = float(meta.get("bounds_avgdl") or self.avgdl) or 1.0
-        self.bound_scale = max(1.0, self.avgdl / _ba)
+        self._bounds_avgdl = float(meta.get("bounds_avgdl") or self.avgdl) or 1.0
+        self.bound_scale = max(1.0, self.avgdl / self._bounds_avgdl)
         # doclengths: one dense u32 array assembled from shard_sizes
         ss = pq.read_table(f"{self.root}/shard_sizes").to_pylist()
         self.dl = np.zeros(self.num_docs, np.uint32)
@@ -254,18 +254,44 @@ class LocalSearcher:
         )
         return list(zip(d.tolist(), s.tolist()))
 
+    def search_batch(
+        self, queries: list[str], k: int = 10, stats: dict | None = None,
+        scoring: str = "bm25",
+    ) -> list[list[tuple[int, float]]]:
+        """Top-k for a BATCH of queries, amortizing the storage round-trips:
+        ONE term-pruned pyarrow fetch covers the union of the batch's terms
+        (per-query serving pays a file-open + row-group-stat pass per miss —
+        the dominant cost of a cold query), then the WAND kernel runs per
+        query against the now-hot lists, sharing decoded blocks through the
+        per-term caches. Results are identical to ``search`` per query."""
+        all_terms = sorted({t for q in queries for t in tokenize_py(q)})
+        if all_terms:
+            self._fetch_lists(all_terms)  # one scan warms every batch term
+        return [
+            self.search(q, k=k, stats=stats, scoring=scoring) for q in queries
+        ]
+
 
 class FreshSearcher(LocalSearcher):
     """Serving over base index + streaming segments (fresh results).
 
     Collection statistics (N, avgdl, per-term df) are recomputed over
     base ∪ segments, so scores match a full rebuild over the same rows —
-    the metamorphic guarantee tests assert. Scoring is EXHAUSTIVE (no WAND):
-    segment block bounds are dl-free and the base bounds were computed
-    against the pre-segment avgdl, so pruning thresholds would be stale;
-    segments are small by construction (compaction folds them back), making
-    exhaustive scoring of the query terms' lists the right trade until the
-    next compaction.
+    the metamorphic guarantee tests assert.
+
+    Scoring (default, ``prune=True``): segments are scored EXHAUSTIVELY
+    (small by construction — compaction folds them back), and their k-th
+    best attained score seeds the Block-Max WAND threshold over the BASE
+    index — the same interval kernel LocalSearcher runs, under the FRESH
+    collection statistics. Base block bounds were computed against the
+    avgdl the base was encoded with (``meta.bounds_avgdl``); tfnorm grows
+    with avgdl, so bounds inflate by ``max(1, fresh_avgdl/bounds_avgdl)``
+    — the sup of the per-doc drift ratio — keeping pruning sound (looser,
+    never unsound). Base and segment docid ranges are disjoint (segments
+    are the dense continuation), so every doc's score is complete on its
+    own side and the merge is exact. ``prune=False`` scores base ∪
+    segments exhaustively — the A/B baseline the pruning tests and the
+    bench's exhaustive legs use.
     """
 
     def __init__(self, index_root: str) -> None:
@@ -331,22 +357,20 @@ class FreshSearcher(LocalSearcher):
         stats: dict | None = None,
         scoring: str = "bm25",
         round_decimals: int | None = None,
+        prune: bool = True,
     ) -> list[tuple[int, float]]:
         """``stats`` and ``scoring`` hold LocalSearcher.search's positions
         (substitutability — a caller written against the base class must not
-        have its 4th positional land in ``round_decimals``): decode
-        counters; exhaustive scoring decodes every block of the query lists,
-        so decoded == total here. ``scoring="impact"`` sums the stored
-        quantized impacts over base ∪ segments — simpler than BM25 fresh
-        serving since impact scores need no collection statistics at all (no
+        have its 4th positional land in ``round_decimals``).
+        ``scoring="impact"`` sums the stored quantized impacts over base ∪
+        segments — impact scores need no collection statistics at all (no
         dl, no avgdl; df only exists inside the stored tf) — provided the
         segments were appended with ``append_vector_batch``, which quantizes
         with the base's frozen range. ``round_decimals``: rank on rounded
-        scores (docid tiebreak) — the driver/oracle ordering contract; sound
-        here because scoring is exhaustive (no pruning threshold to guard);
-        a no-op for impact (integer sums)."""
-        from ciff_spark.functions.scoring import tfnorm_np
-
+        scores (docid tiebreak) — the driver/oracle ordering contract; the
+        pruned path guards its threshold with the ½-ulp ε exactly as
+        LocalSearcher does. ``prune=False``: exhaustive base ∪ segment
+        scoring (decoded == total) — the independent-engine A/B baseline."""
         if scoring not in ("bm25", "impact"):
             raise ValueError(f"unknown scoring {scoring!r}")
         impact = scoring == "impact"
@@ -358,19 +382,130 @@ class FreshSearcher(LocalSearcher):
         for r in self._seg_rows:
             if r["term"] in terms:
                 seg_lists.setdefault(r["term"], []).append(r)
+        # decode segment lists (small by construction) + fresh per-term df
+        seg_decoded: dict[str, list] = {}
+        fresh_df: dict[str, int] = {}
+        n_seg_blocks = 0
+        for t in terms:
+            df = self._df.get(t, 0)
+            dec = []
+            for r in sorted(seg_lists.get(t, []), key=lambda r: r["segment"]):
+                d, tf = self._decode(r["blocks"])
+                dec.append((d, tf))
+                df += len(d)
+                n_seg_blocks += len(r["blocks"])
+            if dec:
+                seg_decoded[t] = dec
+            fresh_df[t] = df
+        if stats is not None:
+            # segment blocks are always fully decoded (exhaustive by design)
+            stats["total_blocks"] = stats.get("total_blocks", 0) + n_seg_blocks
+            stats["decoded_blocks"] = stats.get("decoded_blocks", 0) + n_seg_blocks
+        if not prune:
+            return self._search_exhaustive(
+                terms, base_lists, seg_decoded, fresh_df, k, stats, impact,
+                round_decimals,
+            )
 
-        # vectorized accumulation: gather (docid, contrib) arrays per term,
-        # then one unique+add.at pass — no per-posting Python
+        # ---- pruned path ------------------------------------------------
+        # 1. segments scored exhaustively; their attained scores seed θ
+        seg_d, seg_s = self._score_segments(
+            terms, seg_decoded, fresh_df, impact, round_decimals
+        )
+        order = np.argsort(-seg_s, kind="stable")[:k]  # seg_d docid-ascending
+        seg_top_d, seg_top_s = seg_d[order], seg_s[order]
+        theta0 = float(seg_top_s[-1]) if len(seg_top_s) >= k else None
+
+        # 2. base via the interval Block-Max kernel under FRESH statistics;
+        #    bounds inflate by the sup avgdl-drift ratio (sound, see class doc)
+        lists, caches = [], []
+        for t in terms:
+            ent = base_lists.get(t)
+            if ent is None:
+                continue
+            blocks, prevs, cache = ent
+            w = 1.0 if impact else float(idf_np(fresh_df[t], self.fresh_num_docs))
+            lists.append((w, blocks, np.asarray(prevs, np.int64)))
+            caches.append(cache)
+        if lists:
+            bscale = (
+                1.0 if impact
+                else max(1.0, self.fresh_avgdl / self._bounds_avgdl)
+            )
+            base_d, base_s = wand_topk(
+                lists, self.dl, 0, self.fresh_avgdl, k,
+                round_decimals=round_decimals, initial_theta=theta0,
+                decode_caches=caches, bound_scale=bscale, stats=stats,
+                scoring=scoring,
+            )
+        else:
+            base_d = np.empty(0, np.int64)
+            base_s = np.empty(0, np.float64)
+
+        # 3. exact merge: base and segment docid ranges are disjoint, every
+        #    candidate carries its complete score
+        alld = np.concatenate([base_d, seg_top_d])
+        alls = np.concatenate([base_s, seg_top_s])
+        sel = np.lexsort((alld, -alls))[:k]
+        return [(int(alld[i]), float(alls[i])) for i in sel]
+
+    def _score_segments(
+        self,
+        terms: list[str],
+        seg_decoded: dict[str, list],
+        fresh_df: dict[str, int],
+        impact: bool,
+        round_decimals: int | None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive (docid, score) over the SEGMENT rows only — vectorized
+        accumulation, docid-ascending output."""
+        from ciff_spark.functions.scoring import tfnorm_np
+
         acc_d: list[np.ndarray] = []
         acc_c: list[np.ndarray] = []
         for t in terms:
-            # global df across base + segments
-            df = self._df.get(t, 0)
-            seg_decoded = []
-            for r in sorted(seg_lists.get(t, []), key=lambda r: r["segment"]):
-                d, tf = self._decode(r["blocks"])
-                seg_decoded.append((d, tf))
-                df += len(d)
+            if t not in seg_decoded or fresh_df[t] == 0:
+                continue
+            idf = 1.0 if impact else float(idf_np(fresh_df[t], self.fresh_num_docs))
+            for d, tf in seg_decoded[t]:
+                acc_d.append(d)
+                acc_c.append(
+                    tf.astype(np.float64)
+                    if impact
+                    else idf * tfnorm_np(tf, self._seg_dl_arr(d), self.fresh_avgdl)
+                )
+        if not acc_d:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        alld = np.concatenate(acc_d)
+        allc = np.concatenate(acc_c)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        scores = np.zeros(len(uniq), np.float64)
+        np.add.at(scores, inv, allc)
+        if round_decimals is not None:
+            scores = np.round(scores, round_decimals)
+        return uniq, scores
+
+    def _search_exhaustive(
+        self,
+        terms: list[str],
+        base_lists: dict,
+        seg_decoded: dict[str, list],
+        fresh_df: dict[str, int],
+        k: int,
+        stats: dict | None,
+        impact: bool,
+        round_decimals: int | None,
+    ) -> list[tuple[int, float]]:
+        """Exhaustive base ∪ segment scoring (the pre-pruning semantics):
+        decode every block of the query terms' lists, one unique+add.at
+        accumulation pass, rank by (-score, docid)."""
+        from ciff_spark.functions.codec import decode_block_dict
+        from ciff_spark.functions.scoring import tfnorm_np
+
+        acc_d: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+        for t in terms:
+            df = fresh_df[t]
             if df == 0:
                 continue
             idf = 1.0 if impact else float(idf_np(df, self.fresh_num_docs))
@@ -380,13 +515,9 @@ class FreshSearcher(LocalSearcher):
                     stats["total_blocks"] = stats.get("total_blocks", 0) + len(blocks)
                 parts_d, parts_tf = [], []
                 for j, (blk, prev) in enumerate(zip(blocks, prevs)):
-                    from ciff_spark.functions.codec import decode_block
-
                     got = bcache.get(j)
                     if got is None:
-                        got = bcache[j] = decode_block(
-                            blk["docs_bin"], blk["tfs_bin"], blk["count"], prev
-                        )
+                        got = bcache[j] = decode_block_dict(blk, prev)
                         if stats is not None:
                             stats["decoded_blocks"] = stats.get("decoded_blocks", 0) + 1
                     d, tf = got
@@ -400,7 +531,7 @@ class FreshSearcher(LocalSearcher):
                     if impact
                     else idf * tfnorm_np(tf, self.dl[d], self.fresh_avgdl)
                 )
-            for d, tf in seg_decoded:
+            for d, tf in seg_decoded.get(t, []):
                 acc_d.append(d)
                 acc_c.append(
                     tf.astype(np.float64)

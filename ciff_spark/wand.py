@@ -28,13 +28,10 @@ import heapq
 
 import numpy as np
 
-from ciff_spark.functions.codec import varint_decode
+from ciff_spark.functions.codec import decode_block_dict
 from ciff_spark.functions.scoring import tfnorm_np
 
-
-def _decode_block_arrays(blk: dict, prev_max: int) -> tuple[np.ndarray, np.ndarray]:
-    gaps = varint_decode(blk["docs_bin"], blk["count"]).astype(np.int64)
-    return gaps.cumsum() + prev_max, varint_decode(blk["tfs_bin"], blk["count"]).astype(np.int64)
+_decode_block_arrays = decode_block_dict  # handles implicit single-posting blocks
 
 
 def wand_topk(
@@ -120,17 +117,37 @@ def wand_topk(
         # true block coverage: min_docid (width-capped blocks) exposes the
         # docid GAPS between a sparse list's blocks — intervals in a gap get
         # no bound contribution from this list at all, which is where the
-        # pruning win on selective queries comes from. Indexes written before
-        # the field fall back to the conservative prev_max+1 coverage.
+        # pruning win on selective queries comes from. Implicit single-
+        # posting blocks (count==1, null min_docid) cover exactly their one
+        # docid. Indexes written before the field fall back to the
+        # conservative prev_max+1 coverage.
+        counts = np.array([b["count"] for b in blocks], np.int64)
         mins = np.array(
             [b.get("min_docid") if b.get("min_docid") is not None else -1 for b in blocks],
             np.int64,
         )
         lo = np.where(mins >= 0, np.maximum(lo, mins), lo)
-        mtf = np.array(
-            [b["max_tf"] if impact else b["max_tfnorm"] for b in blocks],
-            np.float64,
-        )
+        lo = np.where(counts == 1, hi, lo)
+        if impact:
+            mtf = np.array([b["max_tf"] for b in blocks], np.float64)
+        else:
+            mtf = np.array(
+                [
+                    b["max_tfnorm"] if b["max_tfnorm"] is not None else np.nan
+                    for b in blocks
+                ],
+                np.float64,
+            )
+            nanm = np.isnan(mtf)
+            if nanm.any():
+                # implicit singles: the exact tf bound derives from the one
+                # posting's (max_tf, dl[max_docid]) at the caller's avgdl —
+                # exact, and bound_scale (≥1) keeps it a valid upper bound
+                mtf[nanm] = tfnorm_np(
+                    np.array([b["max_tf"] for b, m in zip(blocks, nanm) if m], np.int64),
+                    dl[hi[nanm] - start_docid],
+                    avgdl,
+                )
         los.append(lo)
         his.append(hi)
         bounds.append(np.maximum(idf * mtf, 0.0) * float(bound_scale))

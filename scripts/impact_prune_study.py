@@ -81,22 +81,30 @@ def main() -> None:
         LocalSearcher(ROOT).search(q, k=10, scoring="impact", stats=st)
     for q in qs:  # rank identity between the pruned and exhaustive engines
         assert LocalSearcher(ROOT).search(q, k=10, scoring="impact") == \
-            FreshSearcher(ROOT).search(q, k=10, scoring="impact"), q
+            FreshSearcher(ROOT).search(q, k=10, scoring="impact", prune=False), q
 
-    def p50(cls):
+    def p50(mk):
         walls = []
         for q in qs:
-            s = cls(ROOT)
+            s = mk()
             t = time.time()
-            s.search(q, k=10, scoring="impact")
+            s(q)
             walls.append(time.time() - t)
         return sorted(walls)[len(walls) // 2] * 1000
+
+    def _mk_wand():
+        s = LocalSearcher(ROOT)
+        return lambda q: s.search(q, k=10, scoring="impact")
+
+    def _mk_exhaustive():
+        s = FreshSearcher(ROOT)
+        return lambda q: s.search(q, k=10, scoring="impact", prune=False)
 
     print(json.dumps({
         "impact_tx_build_sec": round(build_sec, 1),
         "impact_prune_decode_ratio": round(st["decoded_blocks"] / st["total_blocks"], 4),
-        "impact_serve_wand_p50_ms": round(p50(LocalSearcher), 1),
-        "impact_serve_exhaustive_p50_ms": round(p50(FreshSearcher), 1),
+        "impact_serve_wand_p50_ms": round(p50(_mk_wand), 1),
+        "impact_serve_exhaustive_p50_ms": round(p50(_mk_exhaustive), 1),
         "turns": n,
     }))
 

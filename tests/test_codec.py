@@ -70,10 +70,17 @@ def test_block_roundtrip_property(pairs):
     assert sum(b["count"] for b in blocks) == len(docids)
     prev = -1
     for b in blocks:
-        bd, bt = decode_block(b["docs_bin"], b["tfs_bin"], b["count"], prev)
+        bd, bt = decode_block(
+            b["docs_bin"], b["tfs_bin"], b["count"], prev,
+            b["max_docid"], b["max_tf"],
+        )
         assert bd[-1] == b["max_docid"]
         assert bt.max() == b["max_tf"]
         assert (bd > prev).all()
+        if b["count"] == 1:
+            # implicit single-posting block: derived fields are elided
+            assert b["min_docid"] is None and b["max_tfnorm"] is None
+            assert b["docs_bin"] == b"" and b["tfs_bin"] == b""
         prev = b["max_docid"]
 
 
@@ -89,8 +96,15 @@ def test_block_max_tfnorm_is_true_upper_bound():
     s = 0
     for b in blocks:
         e = s + b["count"]
+        if b["count"] == 1:
+            assert b["max_tfnorm"] is None and b["min_docid"] is None
+            assert b["max_docid"] == docids[s]
+            s = e
+            continue
+        # stored bound: true max, ceil-rounded at BOUND_DECIMALS (still a
+        # true upper bound; ≤ 1e-4 looser)
         assert b["max_tfnorm"] >= tfn[s:e].max() - 1e-12
-        assert b["max_tfnorm"] == pytest.approx(tfn[s:e].max())
+        assert b["max_tfnorm"] <= tfn[s:e].max() + 10.0 ** -4
         assert b["count"] <= BLOCK_SIZE
         assert b["min_docid"] == docids[s] and b["max_docid"] == docids[e - 1]
         # width cap is window-aligned: a block never straddles a BLOCK_SPAN
@@ -98,6 +112,41 @@ def test_block_max_tfnorm_is_true_upper_bound():
         assert b["min_docid"] // BLOCK_SPAN == b["max_docid"] // BLOCK_SPAN
         s = e
     assert s == n
+
+
+def test_adaptive_span_dense_vs_sparse():
+    """Adaptive span: dense lists keep clean BLOCK_SIZE-posting blocks (no
+    window-edge runts); sparse lists keep the width-capped, window-aligned
+    geometry where the WAND coverage gaps live."""
+    n = 1000
+    tfs = np.ones(n, np.int64)
+
+    # avg gap 3 ≤ SPAN_ADAPT_FACTOR·span/size = 4 → dense → uncapped
+    dense = np.arange(n, dtype=np.int64) * 3
+    blocks = encode_postings(dense, tfs)
+    assert all(b["count"] == BLOCK_SIZE for b in blocks[:-1])
+    d, t = decode_postings(blocks)
+    np.testing.assert_array_equal(d, dense)
+
+    # fixed-span mode fragments the same list at every 256-docid window edge
+    blocks_fixed = encode_postings(dense, tfs, span_adaptive=False)
+    assert len(blocks_fixed) > len(blocks)
+    assert any(b["count"] < BLOCK_SIZE for b in blocks_fixed[:-1])
+    d, t = decode_postings(blocks_fixed)
+    np.testing.assert_array_equal(d, dense)
+
+    # avg gap 40 > 4 → sparse → capped AND window-aligned, identical to the
+    # fixed-span geometry (the pruning-proven r4 shape)
+    sparse = np.arange(n, dtype=np.int64) * 40
+    blocks_s = encode_postings(sparse, tfs)
+    assert all(
+        b["min_docid"] // BLOCK_SPAN == b["max_docid"] // BLOCK_SPAN
+        for b in blocks_s
+        if b["count"] > 1  # implicit singles elide min_docid
+    )
+    assert blocks_s == encode_postings(sparse, tfs, span_adaptive=False)
+    d, t = decode_postings(blocks_s)
+    np.testing.assert_array_equal(d, sparse)
 
 
 def test_encode_rejects_bad_input():
@@ -150,6 +199,10 @@ def test_encode_arrow_batch_equals_encode_many():
             assert gb["count"] == eb["count"]
             assert gb["max_docid"] == eb["max_docid"]
             assert gb["max_tf"] == eb["max_tf"]
-            assert gb["max_tfnorm"] == pytest.approx(eb["max_tfnorm"])
+            assert gb["min_docid"] == eb["min_docid"]
+            if eb["max_tfnorm"] is None:  # implicit single-posting block
+                assert gb["max_tfnorm"] is None
+            else:
+                assert gb["max_tfnorm"] == pytest.approx(eb["max_tfnorm"])
             assert gb["docs_bin"] == eb["docs_bin"]
             assert gb["tfs_bin"] == eb["tfs_bin"]

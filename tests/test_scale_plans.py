@@ -77,6 +77,101 @@ def test_kmeans_assignment_is_pure_codegen(spark):
         assert bad not in plan, f"{bad} in assignment plan:\n{plan}"
 
 
+def test_ivf_kmeans_scan_is_partition_pruned(spark):
+    """The trained-quantizer IVF entries must read the MATERIALIZED
+    cluster-partitioned layout with partition pruning on the probed cells —
+    never re-evaluate k distances per row per query. The plan must carry a
+    cluster PartitionFilter and scan fewer files than the layout holds."""
+    import glob
+
+    import __spark_entry__ as entry_mod
+
+    from ciff_spark.operators.simsearch import ivf_materialized
+
+    df = entry_mod.queries()["ann_ivf_kmeans"](spark, SF_DIR)
+    plan = _plan(df)
+    # a binding partition filter on cluster (equality for nprobe=1, IN for
+    # nprobe>1) — Spark prunes the FileIndex to matching cluster= dirs
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*(=|IN)", plan), plan
+    # no per-row quantizer re-evaluation at query time: the only zip_with in
+    # the plan is the ONE query-cosine dot product — a per-row assignment
+    # would add one per centroid (k more)
+    assert plan.count("zip_with") == 1, plan
+    # the layout actually has multiple cells, so the filter prunes storage
+    root = ivf_materialized(spark, SF_DIR)
+    assert len(glob.glob(f"{root}/cluster=*")) > 1
+
+
+def test_pq_adc_scans_codes_only(spark):
+    """The ADC top-k must run entirely in the compressed domain: scan the
+    materialized CODES parquet (one integer lookup per subspace), never the
+    embeddings table, with no vector arithmetic in the plan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ann_pq_adc_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "embeddings.parquet" not in plan, plan
+    assert "zip_with" not in plan and "aggregate(" not in plan, plan
+    assert "_pq" in plan  # reads the materialized codes layout
+
+
+def test_pq_code_packing_consistent(spark):
+    """The packed pq_code must decompose back to the per-subspace codes of
+    the materialized table (base-kc digits in subspace order)."""
+    from ciff_spark.operators.simsearch import (
+        PQ_K,
+        PQ_M,
+        ann_pq_codes,
+        pq_materialized,
+    )
+
+    codes = spark.read.parquet(pq_materialized(spark, SF_DIR)).toPandas()
+    packed = ann_pq_codes(spark, SF_DIR).toPandas().set_index("vec_id")["pq_code"]
+    for _, row in codes.head(50).iterrows():
+        v = int(packed[row["vec_id"]])
+        for s in range(PQ_M):
+            assert v % PQ_K == row[f"c{s}"], (row["vec_id"], s)
+            v //= PQ_K
+        assert v == 0
+
+
+def test_kmeans_memo_and_ivf_layout_keyed_by_fingerprint(spark, tmp_path):
+    """The k-means memo and the materialized IVF layout are content-addressed
+    by the embeddings table's fingerprint: rewriting the table in place must
+    retrain (new memo key) and rematerialize (new layout path) instead of
+    serving stale centroids — the r4 staleness nit."""
+    import os
+    import shutil
+    import time
+
+    from ciff_spark.operators.simsearch import (
+        _KMEANS_CACHE,
+        _embeddings_fingerprint,
+        ivf_materialized,
+        kmeans_centroids,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{d}/embeddings.parquet")
+    fp1 = _embeddings_fingerprint(d)
+    kmeans_centroids(spark, d)
+    root1 = ivf_materialized(spark, d)
+    assert (fp1, 4, 3) in _KMEANS_CACHE
+
+    # in-place rewrite (same bytes, new mtime) → new fingerprint, new key
+    time.sleep(0.01)
+    os.utime(f"{d}/embeddings.parquet")
+    fp2 = _embeddings_fingerprint(d)
+    assert fp2 != fp1
+    assert (fp2, 4, 3) not in _KMEANS_CACHE  # stale memo cannot be served
+    kmeans_centroids(spark, d)  # retrains under the new key
+    assert (fp2, 4, 3) in _KMEANS_CACHE
+    assert ivf_materialized(spark, d) != root1  # rematerialized layout
+
+
 def test_zipf_term_bands_none_on_degenerate_vocab(tmp_path):
     """bench's band helper must signal (None) rather than hand empty lists
     to the query-synthesis modulo when a corpus is too small/degenerate."""

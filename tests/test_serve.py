@@ -75,13 +75,63 @@ def test_local_search_latency(served):
 
 def test_wand_serving_matches_exhaustive_engine(served):
     """Cross-engine rank identity on the SAME index artifact: LocalSearcher
-    (Block-Max WAND kernel, prunes) vs FreshSearcher with no segments (the
-    exhaustive scorer, decodes everything). Exact tuple equality including
-    raw float scores and k-th-place docid tie-breaks — the A/B that caught
-    the r4 inverted tie mask in the vectorized heap admission."""
+    (Block-Max WAND kernel, prunes) vs FreshSearcher(prune=False) with no
+    segments (the exhaustive scorer, decodes everything). Exact tuple
+    equality including raw float scores and k-th-place docid tie-breaks —
+    the A/B that caught the r4 inverted tie mask in the vectorized heap
+    admission. The PRUNED fresh path (default) must agree with both."""
     from ciff_spark.serve import FreshSearcher
 
     searcher, _ = served
     fresh = FreshSearcher(searcher.root)
     for q in QUERIES + ["w000000 w000001 w000002", "w000010 w000200"]:
-        assert searcher.search(q, k=7) == fresh.search(q, k=7), q
+        exhaustive = fresh.search(q, k=7, prune=False)
+        assert searcher.search(q, k=7) == exhaustive, q
+        assert FreshSearcher(searcher.root).search(q, k=7) == exhaustive, q
+
+
+def test_search_batch_identical_to_per_query(served):
+    """search_batch (one union-of-terms fetch, shared decode caches) must be
+    result-identical to per-query search on a fresh searcher."""
+    searcher, _ = served
+    batch = QUERIES + ["w000010 w000200"]
+    got = LocalSearcher(searcher.root).search_batch(batch, k=7)
+    for q, rows in zip(batch, got):
+        assert rows == searcher.search(q, k=7), q
+
+
+def test_fresh_pruned_equals_exhaustive_with_segments(spark, tmp_path):
+    """FreshSearcher's pruned path (segments exhaustive → θ seed → Block-Max
+    WAND over the base under FRESH stats) must return tuple-identical
+    results to the exhaustive fresh scorer on a segmented index — across
+    base-only / segment-only / mixed-term queries, both with and without
+    the rounded-rank contract, and it must actually skip base blocks."""
+    from ciff_spark.serve import FreshSearcher
+    from ciff_spark.streaming.incremental import append_batch
+    from ciff_spark.store import IndexStore
+
+    pdf = transcripts_pdf(40, seed=7).sort_values(["conv_id", "turn_idx"])
+    convs = sorted(pdf["conv_id"].unique())
+    base_pdf = pdf[pdf.conv_id.isin(convs[:30])]
+    seg_pdf = pdf[pdf.conv_id.isin(convs[30:])]
+    root = str(tmp_path / "fresh_prune_idx")
+    build_index(
+        spark.createDataFrame(base_pdf), root,
+        config=BuildConfig(n_shards=3, n_pgroups=4, block_size=16),
+        resume=False,
+    )
+    store = IndexStore(root)
+    append_batch(spark, store, spark.createDataFrame(seg_pdf), 0)
+
+    queries = QUERIES + ["w000000 w000001 w000002", "w000010 w000200"]
+    for q in queries:
+        for rd in (None, 6):
+            a = FreshSearcher(root).search(q, k=7, round_decimals=rd)
+            b = FreshSearcher(root).search(q, k=7, round_decimals=rd, prune=False)
+            assert a == b, (q, rd)
+    # the pruned path must decode fewer base blocks than exist (fresh
+    # instance per query so caches don't masquerade as pruning)
+    st: dict = {}
+    for q in queries:
+        FreshSearcher(root).search(q, k=3, stats=st)
+    assert 0 < st["decoded_blocks"] < st["total_blocks"]
