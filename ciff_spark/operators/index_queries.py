@@ -157,6 +157,32 @@ def _bm25_indexed(query: str, mode: str):
     return fn
 
 
+def _bm25_indexed_filtered(query: str, lang: str):
+    """Metadata-filtered index-backed search: top-k restricted to documents
+    with ``lang = <lang>`` while idf/avgdl stay collection-level — the
+    standard filtered-search semantics (`IndexReader.topk(doc_filter=...)`,
+    a semi-join on the contributions before aggregation). The oracle runs
+    the SAME whole-collection BM25 pipeline with the result set re-joined
+    against the metadata predicate."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        documents_index(spark, sf_dir)
+        reader = IndexReader(spark, index_root_for(sf_dir))
+        filt = (
+            load(spark, sf_dir, "documents")
+            .where(F.col("lang") == lang)
+            .select(F.col("doc_id").cast("long").alias("docid"))
+        )
+        out = reader.topk(
+            [(0, query)], k=K, mode="exact", round_scores=True, doc_filter=filt
+        )
+        return out.select(
+            F.col("docid").alias("doc_id"), F.col("score")
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+    return fn
+
+
 def _bm25_fresh(query: str, base_frac: float = 0.8):
     """Streaming-freshness correctness, driver-checkable: index the FIRST
     ``base_frac`` of documents as the base, stream the rest in as a segment
@@ -215,6 +241,12 @@ QUERIES: dict[str, tuple] = {
     "bm25_idx_wand_mix": (_bm25_indexed(Q_MIX, "wand"), bm25_topk_sql(Q_MIX, K)),
     "bm25_idx_wand_rare": (_bm25_indexed(Q_RARE, "wand"), bm25_topk_sql(Q_RARE, K)),
     "bm25_idx_wand_multi": (_bm25_indexed(Q_MULTI, "wand"), bm25_topk_sql(Q_MULTI, K)),
+    # metadata-filtered search: results restricted to lang='es' docs,
+    # collection-level idf/avgdl (doc_filter semi-join on contributions)
+    "bm25_idx_filtered_es": (
+        _bm25_indexed_filtered(Q_MIX, "es"),
+        bm25_topk_sql(Q_MIX, K, where="fd.lang = 'es'"),
+    ),
     # streaming freshness: base index + streamed segment, FreshSearcher vs
     # the SAME whole-table oracle (fresh ≡ rebuild, checked cross-engine)
     "bm25_fresh_mix": (_bm25_fresh(Q_MIX), bm25_topk_sql(Q_MIX, K)),

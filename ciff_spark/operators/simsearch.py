@@ -856,6 +856,78 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_materialized(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the composed IVF-PQ layout once: PQ codes partitioned by
+    the trained COARSE cluster — the full 100 TB ANN storage shape (queries
+    prune partitions to the probed cells, then run compressed-domain ADC
+    over the 2-bit-per-subspace codes inside them; raw vectors are never
+    read at query time)."""
+    import os
+
+    root = (
+        f"{IVF_MATERIALIZE_ROOT}/{_embeddings_fingerprint(sf_dir)}"
+        f"_ivfpq{KMEANS_K}_{PQ_M}x{PQ_K}"
+    )
+    if os.path.exists(f"{root}/_SUCCESS"):
+        return root
+    coarse = kmeans_centroids(spark, sf_dir)
+    cents = pq_codebooks(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    (
+        emb.select(
+            "vec_id",
+            _assign_cluster(coarse).cast("int").alias("cluster"),
+            *[_assign_sub(s, cents[s]).cast("int").alias(f"c{s}") for s in range(PQ_M)],
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(root)
+    )
+    return root
+
+
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (nprobe=2): partition-prune the composed layout to the
+    query's two nearest coarse cells, then ADC over the codes within them —
+    storage scanned is 2/k of the corpus AND 16× compressed. The oracle
+    re-derives the coarse quantizer, the per-subspace codebooks, the probe
+    set, and the integer ADC distances relationally."""
+    import math
+
+    q, _ = _query_vec(spark, sf_dir, 0)
+    cells = _probe_cells(spark, sf_dir, q, nprobe=2)
+    cents = pq_codebooks(spark, sf_dir)
+    lut = [
+        [
+            int(
+                math.floor(
+                    sum(
+                        (float(q[s * PQ_DSUB + i]) - cents[s][j][i]) ** 2
+                        for i in range(PQ_DSUB)
+                    )
+                    * 1e6
+                    + 0.5
+                )
+            )
+            for j in range(PQ_K)
+        ]
+        for s in range(PQ_M)
+    ]
+    codes = spark.read.parquet(ivfpq_materialized(spark, sf_dir))
+    dist = None
+    for s in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes.where((F.col("vec_id") != 0) & F.col("cluster").isin(cells))
+        .select("vec_id", dist.cast("bigint").alias("adc_micro"))
+        .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+        .limit(K_IVF)
+    )
+
+
 def _pq_sql_ctes(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
     """Unrolled per-subspace Lloyd's as DuckDB CTEs — ``_kmeans_sql_ctes``
     generalized with a subspace column ``s`` (all subspaces train in one
@@ -915,6 +987,27 @@ WITH {_pq_sql_ctes()}
 SELECT vec_id,
        CAST(sum(cl * CAST(power({PQ_K}, s) AS BIGINT)) AS BIGINT) AS pq_code
 FROM pafin GROUP BY vec_id
+"""
+
+ANN_IVFPQ_ADC_SQL = f"""
+WITH {_kmeans_sql_ctes()},
+{_pq_sql_ctes()},
+qcells AS (SELECT cl FROM dfin WHERE vec_id = 0 ORDER BY d, cl LIMIT 2),
+pqs AS (SELECT s, i, vx AS qx FROM psv WHERE vec_id = 0),
+plut AS (
+  SELECT c.s, c.cl,
+         CAST(round(sum((q.qx - c.cx) * (q.qx - c.cx)) * 1000000, 0) AS BIGINT) AS dm
+  FROM pc{PQ_ITERS} c JOIN pqs q ON q.s = c.s AND q.i = c.i
+  GROUP BY c.s, c.cl
+)
+SELECT a.vec_id, CAST(sum(l.dm) AS BIGINT) AS adc_micro
+FROM pafin a JOIN plut l ON l.s = a.s AND l.cl = a.cl
+WHERE a.vec_id != 0
+  AND a.vec_id IN (
+    SELECT vec_id FROM afin WHERE cl IN (SELECT cl FROM qcells)
+  )
+GROUP BY a.vec_id
+ORDER BY adc_micro ASC, vec_id ASC LIMIT {K_IVF}
 """
 
 ANN_PQ_ADC_SQL = f"""
@@ -983,6 +1076,8 @@ QUERIES: dict[str, tuple] = {
     # codes, compressed-domain ADC scan — oracle re-derives everything
     "ann_pq_codes": (ann_pq_codes, ANN_PQ_CODES_SQL),
     "ann_pq_adc_topk": (ann_pq_adc_topk, ANN_PQ_ADC_SQL),
+    # composed IVF-PQ: coarse-cell partition pruning + compressed-domain ADC
+    "ann_ivfpq_adc_topk": (ann_ivfpq_adc_topk, ANN_IVFPQ_ADC_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
     "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
     "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),

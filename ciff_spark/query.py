@@ -110,12 +110,20 @@ def bm25_topk_sql(
     table: str = "documents",
     docid_col: str = "doc_id",
     text_col: str = "text",
+    where: str | None = None,
 ) -> str:
     """DuckDB oracle SQL equivalent of ``bm25_topk_relational`` — generated
     from the same pinned fragments (tokenizer + scoring), so the two cannot
-    drift apart."""
+    drift apart. ``where``: optional metadata predicate over alias ``fd``
+    (a re-join of ``table``) restricting the RESULT set — idf/avgdl stay
+    collection-level, mirroring ``IndexReader.topk(doc_filter=...)``."""
     qterms = sorted(set(tokenize_py(query)))
     terms_in = ", ".join(f"'{t}'" for t in qterms) or "''"
+    filt = (
+        f"JOIN {table} fd ON scored.docid = fd.{docid_col} WHERE {where}"
+        if where
+        else ""
+    )
     return f"""
 WITH toks AS (
   SELECT {docid_col} AS docid, unnest({tokenize_sql(text_col)}) AS term
@@ -136,8 +144,9 @@ scored AS (
   FROM tf JOIN df USING (term) JOIN dl ON tf.docid = dl.docid CROSS JOIN stats
   GROUP BY tf.docid
 )
-SELECT docid AS {docid_col}, round(s, {SCORE_DECIMALS}) AS score
-FROM scored ORDER BY round(s, {SCORE_DECIMALS}) DESC, docid ASC LIMIT {k}
+SELECT scored.docid AS {docid_col}, round(s, {SCORE_DECIMALS}) AS score
+FROM scored {filt}
+ORDER BY round(s, {SCORE_DECIMALS}) DESC, scored.docid ASC LIMIT {k}
 """
 
 
@@ -199,6 +208,7 @@ class IndexReader:
         round_scores: bool = False,
         shared_theta: bool = False,
         scoring: str = "bm25",
+        doc_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k per query. Returns DataFrame(qid int, docid long, score double).
 
@@ -217,11 +227,22 @@ class IndexReader:
         with it — one extra small job buying skipped blocks in all remaining
         shards; worthwhile when shards are large, overhead when the per-job
         fixed cost dominates (measured in bench.py).
+
+        ``doc_filter``: optional single-column DataFrame of docids — results
+        restrict to these docs (metadata-filtered search: the caller derives
+        it from the docs table / any side predicate), while idf/avgdl stay
+        COLLECTION-level (the standard filtered-search semantics). The
+        filter applies as a semi-join on the per-(doc, term) contributions
+        BEFORE aggregation — rows drop at the earliest relational point;
+        exact mode only (WAND's pruning thresholds are heap-driven and the
+        kernel does not see the filter).
         """
         if scoring not in ("bm25", "impact"):
             # validate HERE, not only in the wand kernel — mode="exact" with
             # a typo'd scoring would otherwise silently fall back to BM25
             raise ValueError(f"unknown scoring {scoring!r}")
+        if doc_filter is not None and mode != "exact":
+            raise ValueError("doc_filter requires mode='exact'")
         qpdf, terms = self._query_frame(queries)
         if not terms:
             return self.spark.createDataFrame([], "qid int, docid bigint, score double")
@@ -247,7 +268,7 @@ class IndexReader:
         self._bound_scale = max(1.0, avgdl / _ba)
 
         if mode == "exact":
-            out = self._exact(pq, sizes, avgdl, k, rd, scoring=scoring)
+            out = self._exact(pq, sizes, avgdl, k, rd, scoring=scoring, doc_filter=doc_filter)
         elif mode == "wand":
             if shared_theta:
                 seed_pdf = self._wand(
@@ -290,6 +311,7 @@ class IndexReader:
     def _exact(
         self, pq: DataFrame, sizes: DataFrame, avgdl: float, k: int,
         round_decimals: int | None = None, scoring: str = "bm25",
+        doc_filter: DataFrame | None = None,
     ) -> DataFrame:
         impact = scoring == "impact"
 
@@ -334,6 +356,14 @@ class IndexReader:
             .cogroup(sizes.groupBy("shard"))
             .applyInPandas(score_shard, schema="qid int, docid bigint, contrib double")
         )
+        if doc_filter is not None:
+            # metadata-filtered search: semi-join the (doc, term)
+            # contributions against the allowed docid set BEFORE the
+            # aggregation — per-doc scores stay complete (whole docs drop)
+            allowed = doc_filter.select(
+                F.col(doc_filter.columns[0]).cast("long").alias("docid")
+            ).distinct()
+            contrib = contrib.join(allowed, "docid", "leftsemi")
         scores = contrib.groupBy("qid", "docid").agg(F.sum("contrib").alias("score"))
         if round_decimals is not None:
             # round the COMPLETE per-doc score before ranking — the sound

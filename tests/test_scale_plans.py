@@ -137,6 +137,55 @@ def test_pq_code_packing_consistent(spark):
         assert v == 0
 
 
+def test_ivfpq_scan_is_pruned_and_compressed_domain(spark):
+    """The composed IVF-PQ entry must read the cluster-partitioned CODES
+    layout with a binding partition filter AND stay in the compressed
+    domain (no embeddings scan, no vector arithmetic)."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ann_ivfpq_adc_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*(=|IN)", plan), plan
+    assert "embeddings.parquet" not in plan, plan
+    assert "zip_with" not in plan and "aggregate(" not in plan, plan
+    assert "_ivfpq" in plan
+
+
+def test_doc_filter_requires_exact_mode(spark):
+    """doc_filter with mode='wand' must fail loud (the kernel's pruning
+    thresholds don't see the filter), and the filtered exact path must be
+    a subset of the unfiltered scores."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from ciff_spark.operators.index_queries import documents_index, index_root_for
+    from ciff_spark.query import IndexReader
+    from ciff_spark.sources.testdata import load
+
+    documents_index(spark, SF_DIR)
+    reader = IndexReader(spark, index_root_for(SF_DIR))
+    filt = (
+        load(spark, SF_DIR, "documents")
+        .where(F.col("lang") == "es")
+        .select(F.col("doc_id").cast("long").alias("docid"))
+    )
+    with _pytest.raises(ValueError, match="doc_filter"):
+        reader.topk([(0, "dup batch")], k=5, mode="wand", doc_filter=filt)
+    full = {
+        (r["docid"],): r["score"]
+        for r in reader.topk([(0, "dup batch")], k=1000, mode="exact").collect()
+    }
+    allowed = {int(r["docid"]) for r in filt.collect()}
+    got = reader.topk([(0, "dup batch")], k=5, mode="exact", doc_filter=filt).collect()
+    assert got  # the es subset matches something for these hot terms
+    for r in got:
+        assert int(r["docid"]) in allowed
+        assert full[(r["docid"],)] == r["score"]  # scores stay collection-level
+
+
 def test_kmeans_memo_and_ivf_layout_keyed_by_fingerprint(spark, tmp_path):
     """The k-means memo and the materialized IVF layout are content-addressed
     by the embeddings table's fingerprint: rewriting the table in place must
