@@ -359,6 +359,11 @@ def run_bench(sf_dir: str, cores: int, n_convs: int) -> dict:
         "dedup_clusters": lambda: dedup.dedup_clusters(spark, sf_dir).count(),
         "dedup_simhash": lambda: dedup.dedup_simhash(spark, sf_dir).count(),
         "ann_cosine_topk": lambda: simsearch.ann_cosine_topk(spark, sf_dir).count(),
+        # includes one-time quantizer training + layout materialization on
+        # first call (content-addressed cache makes reruns query-only)
+        "ann_ivf_kmeans": lambda: simsearch.ann_ivf_kmeans(spark, sf_dir).count(),
+        "ann_pq_adc_topk": lambda: simsearch.ann_pq_adc_topk(spark, sf_dir).count(),
+        "ann_ivfpq_adc_topk": lambda: simsearch.ann_ivfpq_adc_topk(spark, sf_dir).count(),
         "neardup_cosine_pairs": lambda: simsearch.neardup_cosine_pairs(spark, sf_dir).count(),
         "tq_quality": lambda: textquality.tq_quality(spark, sf_dir).count(),
         "ev_sessionize": lambda: events.ev_sessionize(spark, sf_dir).count(),

@@ -225,7 +225,7 @@ class LocalSearcher:
 
     def search(
         self, query: str, k: int = 10, stats: dict | None = None,
-        scoring: str = "bm25",
+        scoring: str = "bm25", allowed_docids=None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k: [(docid, score)] — identical semantics to the
         distributed readers (WAND over per-term blocks; shards of a term
@@ -233,7 +233,12 @@ class LocalSearcher:
         ``stats``: optional dict accumulating wand_topk's decode counters.
         ``scoring="impact"`` serves quantized impact indexes (Σ stored tf,
         term weight 1.0, max_tf block bounds) — PISA's quantized scorer over
-        the same artifact the distributed impact reader queries."""
+        the same artifact the distributed impact reader queries.
+        ``allowed_docids``: optional iterable/array of docids — metadata-
+        filtered serving: results restrict to these docs while idf/avgdl
+        stay collection-level, and WAND pruning remains sound (θ tracks the
+        k-th best ALLOWED score; see wand_topk). The distributed analog is
+        ``IndexReader.topk(doc_filter=...)``."""
         if scoring not in ("bm25", "impact"):
             raise ValueError(f"unknown scoring {scoring!r}")
         terms = sorted(set(tokenize_py(query)))
@@ -246,11 +251,15 @@ class LocalSearcher:
             w = 1.0 if impact else float(idf_np(self._df[t], self.num_docs))
             lists.append((w, blocks, np.asarray(prevs, np.int64)))
             caches.append(cache)
+        mask = None
+        if allowed_docids is not None:
+            mask = np.zeros(self.num_docs, bool)
+            mask[np.asarray(list(allowed_docids), np.int64)] = True
         d, s = wand_topk(
             lists, self.dl, 0, self.avgdl, k,
             decode_caches=caches,
             bound_scale=1.0 if impact else self.bound_scale,
-            stats=stats, scoring=scoring,
+            stats=stats, scoring=scoring, allowed=mask,
         )
         return list(zip(d.tolist(), s.tolist()))
 

@@ -46,6 +46,7 @@ def wand_topk(
     bound_scale: float = 1.0,
     stats: dict | None = None,
     scoring: str = "bm25",
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -90,6 +91,14 @@ def wand_topk(
     kernel — intervals already process in descending U, the query-time
     equivalent, and blocks must stay docid-ascending on disk for the lo/hi
     geometry — so decode count IS the pruning metric to watch.
+
+    ``allowed``: optional boolean mask aligned with ``dl`` (index =
+    docid − start_docid) — metadata-filtered top-k: only allowed docs enter
+    the heap. Pruning stays sound: θ is the k-th best ALLOWED score, and an
+    interval skipped at U < θ − ε bounds its allowed docs' scores too (the
+    bound holds for every doc). Blocks still decode whole (they interleave
+    allowed/disallowed docs); the filter applies to candidates, which is
+    where the exactness argument needs it.
 
     ``scoring``: ``"bm25"`` (default) scores idf · tfnorm(tf, dl, avgdl) with
     block bound idf · max_tfnorm. ``"impact"`` treats tf AS the quantized
@@ -215,6 +224,11 @@ def wand_topk(
         np.add.at(scores, inv, allc)
         if round_decimals is not None:
             scores = np.round(scores, round_decimals)
+        if allowed is not None:
+            keep = allowed[uniq - start_docid]
+            uniq, scores = uniq[keep], scores[keep]
+            if not len(uniq):
+                continue
         # vectorized heap admission: dense intervals (nothing pruned) used to
         # walk EVERY candidate through a Python heap op — instead, seed a
         # non-full heap with the interval's best (k - len) via one lexsort,

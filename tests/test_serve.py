@@ -90,6 +90,23 @@ def test_wand_serving_matches_exhaustive_engine(served):
         assert FreshSearcher(searcher.root).search(q, k=7) == exhaustive, q
 
 
+def test_filtered_serving_matches_brute_filter(served):
+    """Metadata-filtered WAND serving (allowed_docids) must equal filtering
+    the exhaustive engine's complete score list and re-ranking — scores stay
+    collection-level, pruning θ tracks the k-th best ALLOWED score."""
+    from ciff_spark.serve import FreshSearcher
+
+    searcher, _ = served
+    allowed = np.arange(0, searcher.num_docs, 3)  # every 3rd doc
+    allow_set = set(allowed.tolist())
+    for q in QUERIES:
+        got = LocalSearcher(searcher.root).search(q, k=7, allowed_docids=allowed)
+        # brute force: exhaustive scores over ALL docs, filter, re-rank
+        full = FreshSearcher(searcher.root).search(q, k=10**9, prune=False)
+        want = [(d, s) for d, s in full if d in allow_set][:7]
+        assert got == want, q
+
+
 def test_search_batch_identical_to_per_query(served):
     """search_batch (one union-of-terms fetch, shared decode caches) must be
     result-identical to per-query search on a fresh searcher."""
