@@ -119,3 +119,38 @@ def test_wand_kth_place_tie_across_intervals_prefers_smaller_docid():
     d, s = wand_topk([(1.0, blocks)], dl, 0, 1.0, 5, scoring="impact")
     assert d.tolist() == [105, 0, 1, 2, 3]  # tf2 doc, then smallest docids
     assert s.tolist() == [2.0, 1.0, 1.0, 1.0, 1.0]
+
+
+def test_wand_implicit_singles_with_filter_and_theta():
+    """Implicit single-posting blocks (sparse list, span-capped), an allowed
+    mask, and an initial θ compose: results equal brute-force scoring of
+    the allowed docs, bounds derive for the elided max_tfnorm."""
+    from ciff_spark.functions.scoring import idf_np, tfnorm_np
+
+    rng = np.random.default_rng(3)
+    # sparse list: avg gap ~1000 >> 4 → capped; every block is a single
+    docids = np.cumsum(rng.integers(500, 1500, 40))
+    tfs = rng.integers(1, 5, 40)
+    blocks = encode_postings(docids, tfs)
+    assert all(b["count"] == 1 and b["max_tfnorm"] is None for b in blocks)
+    n = int(docids.max()) + 1
+    dl = rng.integers(5, 50, n).astype(np.uint32)
+    avgdl = 22.5
+    idf = float(idf_np(40, n))
+    allowed = np.zeros(n, bool)
+    allowed[docids[::2]] = True  # every other posting's doc
+
+    exp_scores = idf * tfnorm_np(tfs, dl[docids], avgdl)
+    pairs = sorted(
+        ((float(s), int(d)) for d, s in zip(docids[::2], exp_scores[::2])),
+        key=lambda x: (-x[0], x[1]),
+    )[:5]
+    d, s = wand_topk([(idf, blocks)], dl, 0, avgdl, 5, allowed=allowed)
+    assert d.tolist() == [p[1] for p in pairs]
+    np.testing.assert_allclose(s, [p[0] for p in pairs], rtol=1e-12)
+    # θ seeded at the true 5th-best allowed score: identical results
+    d2, s2 = wand_topk(
+        [(idf, blocks)], dl, 0, avgdl, 5, allowed=allowed,
+        initial_theta=pairs[-1][0],
+    )
+    assert d2.tolist() == d.tolist()
