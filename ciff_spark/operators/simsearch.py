@@ -725,12 +725,23 @@ def pq_codebooks(
     Scale shape: per iteration ONE codegen'd assignment pass over the table
     (m·kc sq-dist expressions, no UDF, no join) + ONE (s, code, dim)
     aggregation; only the m×kc×dsub codebook reaches the driver."""
-    dsub = DIM // m
     key = (_embeddings_fingerprint(sf_dir), "pq", m, kc, iters)
     hit = _PQ_CACHE.get(key)
     if hit is not None:
         return hit
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _lloyd_subspaces(emb, m, kc, iters)
+    _PQ_CACHE[key] = cents
+    return cents
+
+
+def _lloyd_subspaces(
+    emb: DataFrame, m: int, kc: int, iters: int
+) -> list[list[list[float]]]:
+    """The per-subspace Lloyd's trainer shared by ``pq_codebooks`` (raw
+    vectors) and ``pq_residual_codebooks`` (coarse-residual vectors):
+    ``emb`` = (vec_id, embedding) with float- or double-typed components."""
+    dsub = DIM // m
     init = (
         emb.where(F.col("vec_id") < kc)
         .orderBy("vec_id")
@@ -772,6 +783,43 @@ def pq_codebooks(
             ]
             for s in range(m)
         ]
+    return cents
+
+
+def _residual_col(coarse: list[list[float]]) -> Column:
+    """The coarse residual v − centroid[assign(v)] as a double array — one
+    element_at over the k centroid literal arrays by the assignment, then a
+    zip_with subtraction; pure codegen, identical arithmetic to the oracle's
+    ``vx − cx`` (float→double cast is exact, subtraction IEEE-rounded)."""
+    cent_arrays = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in coarse]
+    )
+    return F.zip_with(
+        F.col("embedding"),
+        F.element_at(cent_arrays, _assign_cluster(coarse) + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+
+
+def pq_residual_codebooks(
+    spark: SparkSession, sf_dir: str,
+    m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """IVFADC residual codebooks: the same per-subspace Lloyd's, trained on
+    the COARSE RESIDUALS v − c_assign(v) (Jégou et al., TPAMI 2011 — the
+    residual distribution is much tighter than the raw one, so the same
+    codebook budget quantizes it with less error). Same cross-engine pins;
+    the oracle derives the residuals relationally from its own re-derived
+    coarse quantizer before unrolling the subspace pipeline."""
+    key = (_embeddings_fingerprint(sf_dir), "pqres", m, kc, iters)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    coarse = kmeans_centroids(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _residual_col(coarse).alias("embedding")
+    )
+    cents = _lloyd_subspaces(emb, m, kc, iters)
     _PQ_CACHE[key] = cents
     return cents
 
@@ -928,14 +976,57 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _subspace_lloyd_ctes(src: str, pre: str, kc: int, iters: int) -> str:
+    """Unrolled per-subspace Lloyd's over source CTE ``src`` (columns
+    vec_id/s/i/vx), all names prefixed with ``pre``. Exposes
+    ``{pre}c{iters}`` (final codebooks, columns s/cl/i/cx) and
+    ``{pre}afin`` (final assignment, columns vec_id/s/cl)."""
+    parts = [
+        f"""{pre}c0 AS (
+  SELECT vec_id AS cl, s, i, round(vx, 6) AS cx FROM {src} WHERE vec_id < {kc}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"{pre}c{t - 1}"
+        parts.append(f"""{pre}d{t} AS (
+  SELECT {src}.vec_id, c.s, c.cl,
+         round(sum(({src}.vx - c.cx) * ({src}.vx - c.cx)), 6) AS d
+  FROM {src} JOIN {prev} c ON c.s = {src}.s AND c.i = {src}.i
+  GROUP BY {src}.vec_id, c.s, c.cl
+)""")
+        parts.append(f"""{pre}a{t} AS (
+  SELECT vec_id, s, cl FROM {pre}d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cl) = 1
+)""")
+        parts.append(f"""{pre}m{t} AS (
+  SELECT a.s, a.cl, {src}.i, round(avg({src}.vx), 6) AS cx
+  FROM {pre}a{t} a JOIN {src} ON {src}.vec_id = a.vec_id AND {src}.s = a.s
+  GROUP BY a.s, a.cl, {src}.i
+)""")
+        parts.append(f"""{pre}c{t} AS (
+  SELECT p.s, p.cl, p.i, COALESCE(m.cx, p.cx) AS cx
+  FROM {prev} p LEFT JOIN {pre}m{t} m ON m.s = p.s AND m.cl = p.cl AND m.i = p.i
+)""")
+    parts.append(f"""{pre}dfin AS (
+  SELECT {src}.vec_id, c.s, c.cl,
+         round(sum(({src}.vx - c.cx) * ({src}.vx - c.cx)), 6) AS d
+  FROM {src} JOIN {pre}c{iters} c ON c.s = {src}.s AND c.i = {src}.i
+  GROUP BY {src}.vec_id, c.s, c.cl
+)""")
+    parts.append(f"""{pre}afin AS (
+  SELECT vec_id, s, cl FROM {pre}dfin
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cl) = 1
+)""")
+    return ",\n".join(parts)
+
+
 def _pq_sql_ctes(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
     """Unrolled per-subspace Lloyd's as DuckDB CTEs — ``_kmeans_sql_ctes``
     generalized with a subspace column ``s`` (all subspaces train in one
     relational pipeline). Exposes ``pc{iters}`` (final codebooks, columns
     s/cl/i/cx) and ``pafin`` (final assignment, columns vec_id/s/cl)."""
     dsub = DIM // m
-    parts = [
-        f"""psv AS (
+    src = f"""psv AS (
   SELECT vec_id, CAST((gi - 1) // {dsub} AS INTEGER) AS s,
          (gi - 1) % {dsub} AS i, vx
   FROM (
@@ -943,43 +1034,23 @@ def _pq_sql_ctes(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
            CAST(unnest(embedding) AS DOUBLE) AS vx
     FROM embeddings
   )
-)""",
-        f"""pc0 AS (
-  SELECT vec_id AS cl, s, i, round(vx, 6) AS cx FROM psv WHERE vec_id < {kc}
-)""",
-    ]
-    for t in range(1, iters + 1):
-        prev = f"pc{t - 1}"
-        parts.append(f"""pd{t} AS (
-  SELECT psv.vec_id, c.s, c.cl,
-         round(sum((psv.vx - c.cx) * (psv.vx - c.cx)), 6) AS d
-  FROM psv JOIN {prev} c ON c.s = psv.s AND c.i = psv.i
-  GROUP BY psv.vec_id, c.s, c.cl
-)""")
-        parts.append(f"""pa{t} AS (
-  SELECT vec_id, s, cl FROM pd{t}
-  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cl) = 1
-)""")
-        parts.append(f"""pm{t} AS (
-  SELECT a.s, a.cl, psv.i, round(avg(psv.vx), 6) AS cx
-  FROM pa{t} a JOIN psv ON psv.vec_id = a.vec_id AND psv.s = a.s
-  GROUP BY a.s, a.cl, psv.i
-)""")
-        parts.append(f"""pc{t} AS (
-  SELECT p.s, p.cl, p.i, COALESCE(m.cx, p.cx) AS cx
-  FROM {prev} p LEFT JOIN pm{t} m ON m.s = p.s AND m.cl = p.cl AND m.i = p.i
-)""")
-    parts.append(f"""pdfin AS (
-  SELECT psv.vec_id, c.s, c.cl,
-         round(sum((psv.vx - c.cx) * (psv.vx - c.cx)), 6) AS d
-  FROM psv JOIN pc{iters} c ON c.s = psv.s AND c.i = psv.i
-  GROUP BY psv.vec_id, c.s, c.cl
-)""")
-    parts.append("""pafin AS (
-  SELECT vec_id, s, cl FROM pdfin
-  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cl) = 1
-)""")
-    return ",\n".join(parts)
+)"""
+    return src + ",\n" + _subspace_lloyd_ctes("psv", "p", kc, iters)
+
+
+def _pq_residual_sql_ctes(m: int = PQ_M, kc: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """Residual-PQ pipeline: the coarse quantizer's residuals
+    (``rsv.vx = psv.vx − coarse_centroid[afin(vec)]``) fed through the same
+    unrolled subspace Lloyd's, names prefixed ``r``. Requires
+    ``_kmeans_sql_ctes()`` and ``_pq_sql_ctes()`` (for ``psv``) in scope."""
+    dsub = DIM // m
+    src = f"""rsv AS (
+  SELECT sv.vec_id, sv.s, sv.i, sv.vx - c.cx AS vx
+  FROM psv sv
+  JOIN afin a ON a.vec_id = sv.vec_id
+  JOIN c{KMEANS_ITERS} c ON c.cl = a.cl AND c.i = sv.s * {dsub} + sv.i + 1
+)"""
+    return src + ",\n" + _subspace_lloyd_ctes("rsv", "r", kc, iters)
 
 
 ANN_PQ_CODES_SQL = f"""
@@ -987,6 +1058,115 @@ WITH {_pq_sql_ctes()}
 SELECT vec_id,
        CAST(sum(cl * CAST(power({PQ_K}, s) AS BIGINT)) AS BIGINT) AS pq_code
 FROM pafin GROUP BY vec_id
+"""
+
+def ivfpq_res_materialized(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVFADC layout once: RESIDUAL PQ codes partitioned by
+    the coarse cluster (Jégou et al.'s IVFADC storage: cell id + residual
+    code per vector — nothing else is read at query time)."""
+    import os
+
+    root = (
+        f"{IVF_MATERIALIZE_ROOT}/{_embeddings_fingerprint(sf_dir)}"
+        f"_ivfpqres{KMEANS_K}_{PQ_M}x{PQ_K}"
+    )
+    if os.path.exists(f"{root}/_SUCCESS"):
+        return root
+    coarse = kmeans_centroids(spark, sf_dir)
+    rcents = pq_residual_codebooks(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    resid = emb.select(
+        "vec_id",
+        _assign_cluster(coarse).cast("int").alias("cluster"),
+        _residual_col(coarse).alias("embedding"),
+    )
+    (
+        resid.select(
+            "vec_id", "cluster",
+            *[_assign_sub(s, rcents[s]).cast("int").alias(f"c{s}") for s in range(PQ_M)],
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(root)
+    )
+    return root
+
+
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (residual encoding, nprobe=2): per probed cell the
+    query residual q − c_cell gets its own m×kc LUT against the RESIDUAL
+    codebooks, and the cell's partition of the codes layout is scanned with
+    one integer lookup per subspace. Residual quantization is what makes
+    PQ error small enough to be useful at a given code budget — and the
+    per-cell LUT is the ADC trick that keeps the query cost |cells|·m·kc
+    distance computations + a code scan."""
+    import math
+
+    q, _ = _query_vec(spark, sf_dir, 0)
+    cells = _probe_cells(spark, sf_dir, q, nprobe=2)
+    coarse = kmeans_centroids(spark, sf_dir)
+    rcents = pq_residual_codebooks(spark, sf_dir)
+    codes = spark.read.parquet(ivfpq_res_materialized(spark, sf_dir))
+    parts = []
+    for cell in cells:
+        qres = [float(q[i]) - coarse[cell][i] for i in range(DIM)]
+        lut = [
+            [
+                int(
+                    math.floor(
+                        sum(
+                            (qres[s * PQ_DSUB + i] - rcents[s][j][i]) ** 2
+                            for i in range(PQ_DSUB)
+                        )
+                        * 1e6
+                        + 0.5
+                    )
+                )
+                for j in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+        dist = None
+        for s in range(PQ_M):
+            term = F.element_at(
+                F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+            )
+            dist = term if dist is None else dist + term
+        parts.append(
+            codes.where((F.col("vec_id") != 0) & (F.col("cluster") == cell))
+            .select("vec_id", dist.cast("bigint").alias("adc_micro"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(F.asc("adc_micro"), F.asc("vec_id")).limit(K_IVF)
+
+
+ANN_IVFPQ_RES_SQL = f"""
+WITH {_kmeans_sql_ctes()},
+{_pq_sql_ctes()},
+{_pq_residual_sql_ctes()},
+qcells AS (SELECT cl FROM dfin WHERE vec_id = 0 ORDER BY d, cl LIMIT 2),
+qres AS (
+  SELECT qc.cl AS qcl, sv.s, sv.i, sv.vx - c.cx AS qrx
+  FROM psv sv
+  JOIN qcells qc ON TRUE
+  JOIN c{KMEANS_ITERS} c ON c.cl = qc.cl AND c.i = sv.s * {PQ_DSUB} + sv.i + 1
+  WHERE sv.vec_id = 0
+),
+rlut AS (
+  SELECT q.qcl, c.s, c.cl AS code,
+         CAST(round(sum((q.qrx - c.cx) * (q.qrx - c.cx)) * 1000000, 0) AS BIGINT) AS dm
+  FROM rc{PQ_ITERS} c JOIN qres q ON q.s = c.s AND q.i = c.i
+  GROUP BY q.qcl, c.s, c.cl
+)
+SELECT a.vec_id, CAST(sum(l.dm) AS BIGINT) AS adc_micro
+FROM rafin a
+JOIN afin ca ON ca.vec_id = a.vec_id
+JOIN rlut l ON l.qcl = ca.cl AND l.s = a.s AND l.code = a.cl
+WHERE a.vec_id != 0 AND ca.cl IN (SELECT cl FROM qcells)
+GROUP BY a.vec_id
+ORDER BY adc_micro ASC, a.vec_id ASC LIMIT {K_IVF}
 """
 
 ANN_IVFPQ_ADC_SQL = f"""
@@ -1078,6 +1258,8 @@ QUERIES: dict[str, tuple] = {
     "ann_pq_adc_topk": (ann_pq_adc_topk, ANN_PQ_ADC_SQL),
     # composed IVF-PQ: coarse-cell partition pruning + compressed-domain ADC
     "ann_ivfpq_adc_topk": (ann_ivfpq_adc_topk, ANN_IVFPQ_ADC_SQL),
+    # IVFADC proper: residual codebooks + per-cell query-residual LUTs
+    "ann_ivfpq_residual_topk": (ann_ivfpq_residual_topk, ANN_IVFPQ_RES_SQL),
     "neardup_cosine_pairs": (neardup_cosine_pairs, NEARDUP_SQL),
     "neardup_lsh_pairs": (neardup_lsh_pairs, NEARDUP_LSH_SQL),
     "lsh_hyperplane_buckets": (lsh_hyperplane_buckets, LSH_BUCKETS_SQL),

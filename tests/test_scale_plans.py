@@ -137,15 +137,17 @@ def test_pq_code_packing_consistent(spark):
         assert v == 0
 
 
-def test_ivfpq_scan_is_pruned_and_compressed_domain(spark):
-    """The composed IVF-PQ entry must read the cluster-partitioned CODES
-    layout with a binding partition filter AND stay in the compressed
-    domain (no embeddings scan, no vector arithmetic)."""
+@pytest.mark.parametrize("opname", ["ann_ivfpq_adc_topk", "ann_ivfpq_residual_topk"])
+def test_ivfpq_scan_is_pruned_and_compressed_domain(spark, opname):
+    """The composed IVF-PQ entries (raw-code and residual/IVFADC) must read
+    the cluster-partitioned CODES layout with a binding partition filter AND
+    stay in the compressed domain (no embeddings scan, no vector
+    arithmetic)."""
     import re
 
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()["ann_ivfpq_adc_topk"](spark, SF_DIR)
+    df = entry_mod.queries()[opname](spark, SF_DIR)
     plan = _plan(df)
     assert re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*(=|IN)", plan), plan
     assert "embeddings.parquet" not in plan, plan
