@@ -497,6 +497,9 @@ def build_index(
         store.write_meta_local(
             num_docs, num_terms, total_terms, avgdl, shard_size, cfg.block_size,
             description, n_pgroups=cfg.n_pgroups,
+            # block_span=0 persists "unbounded" (NULL means pre-r5 meta)
+            block_span=0 if cfg.block_span is None else cfg.block_span,
+            span_adaptive=cfg.span_adaptive,
         )
 
     if pending_lineage:

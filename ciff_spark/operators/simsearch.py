@@ -504,9 +504,7 @@ def ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", _assign_cluster(cents).cast("int").alias("cluster"))
 
 
-def ivf_materialized(
-    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> str:
+def ivf_materialized(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the IVF layout ONCE: the embeddings rewritten
     cluster-PARTITIONED under the trained quantizer (``partitionBy(cluster)``
     — one assignment pass at build time). Queries then PRUNE PARTITIONS to
@@ -518,11 +516,12 @@ def ivf_materialized(
     import os
 
     root = (
-        f"{IVF_MATERIALIZE_ROOT}/{_embeddings_fingerprint(sf_dir)}_k{k}i{iters}"
+        f"{IVF_MATERIALIZE_ROOT}/{_embeddings_fingerprint(sf_dir)}"
+        f"_k{KMEANS_K}i{KMEANS_ITERS}"
     )
     if os.path.exists(f"{root}/_SUCCESS"):
         return root
-    cents = kmeans_centroids(spark, sf_dir, k, iters)
+    cents = kmeans_centroids(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     (
         emb.withColumn("cluster", _assign_cluster(cents).cast("int"))
@@ -824,6 +823,45 @@ def pq_residual_codebooks(
     return cents
 
 
+
+def _adc_lut(qvec: list[float], cents: list[list[list[float]]]) -> list[list[int]]:
+    """m×kc ADC lookup table in exact-integer micro distances (½-up at 1e-6
+    — THE one cross-engine rounding rule for compressed-domain distances;
+    the oracle mirrors it as CAST(round(sum(...)*1000000, 0) AS BIGINT)).
+    Integer LUT entries make the per-vector Σ over subspaces
+    order-independent across engines."""
+    import math
+
+    return [
+        [
+            int(
+                math.floor(
+                    sum(
+                        (qvec[s * PQ_DSUB + i] - cents[s][j][i]) ** 2
+                        for i in range(PQ_DSUB)
+                    )
+                    * 1e6
+                    + 0.5
+                )
+            )
+            for j in range(PQ_K)
+        ]
+        for s in range(PQ_M)
+    ]
+
+
+def _adc_dist_col(lut: list[list[int]]) -> Column:
+    """Σ_s lut[s][c_s] as one integer column — a per-subspace element_at
+    against the literal LUT, no vector arithmetic in the plan."""
+    dist = None
+    for s in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+        )
+        dist = term if dist is None else dist + term
+    return dist.cast("bigint")
+
+
 def pq_materialized(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the PQ CODES table once: (vec_id, c0..c{m-1}) under the
     trained codebooks — the compressed-domain representation ADC queries
@@ -869,36 +907,13 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan sums ONE table lookup per subspace over the materialized CODES
     — never touching the embeddings. Distances are exact-integer micro
     units (½-up at 1e-6), so the cross-engine sum is order-independent."""
-    import math
-
     cents = pq_codebooks(spark, sf_dir)
     q, _ = _query_vec(spark, sf_dir, 0)
-    lut = [
-        [
-            int(
-                math.floor(
-                    sum(
-                        (float(q[s * PQ_DSUB + i]) - cents[s][j][i]) ** 2
-                        for i in range(PQ_DSUB)
-                    )
-                    * 1e6
-                    + 0.5
-                )
-            )
-            for j in range(PQ_K)
-        ]
-        for s in range(PQ_M)
-    ]
+    lut = _adc_lut([float(x) for x in q], cents)
     codes = spark.read.parquet(pq_materialized(spark, sf_dir))
-    dist = None
-    for s in range(PQ_M):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
-        )
-        dist = term if dist is None else dist + term
     return (
         codes.where(F.col("vec_id") != 0)
-        .select("vec_id", dist.cast("bigint").alias("adc_micro"))
+        .select("vec_id", _adc_dist_col(lut).alias("adc_micro"))
         .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
         .limit(K_IVF)
     )
@@ -940,37 +955,13 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage scanned is 2/k of the corpus AND 16× compressed. The oracle
     re-derives the coarse quantizer, the per-subspace codebooks, the probe
     set, and the integer ADC distances relationally."""
-    import math
-
     q, _ = _query_vec(spark, sf_dir, 0)
     cells = _probe_cells(spark, sf_dir, q, nprobe=2)
-    cents = pq_codebooks(spark, sf_dir)
-    lut = [
-        [
-            int(
-                math.floor(
-                    sum(
-                        (float(q[s * PQ_DSUB + i]) - cents[s][j][i]) ** 2
-                        for i in range(PQ_DSUB)
-                    )
-                    * 1e6
-                    + 0.5
-                )
-            )
-            for j in range(PQ_K)
-        ]
-        for s in range(PQ_M)
-    ]
+    lut = _adc_lut([float(x) for x in q], pq_codebooks(spark, sf_dir))
     codes = spark.read.parquet(ivfpq_materialized(spark, sf_dir))
-    dist = None
-    for s in range(PQ_M):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
-        )
-        dist = term if dist is None else dist + term
     return (
         codes.where((F.col("vec_id") != 0) & F.col("cluster").isin(cells))
-        .select("vec_id", dist.cast("bigint").alias("adc_micro"))
+        .select("vec_id", _adc_dist_col(lut).alias("adc_micro"))
         .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
         .limit(K_IVF)
     )
@@ -1100,8 +1091,6 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ error small enough to be useful at a given code budget — and the
     per-cell LUT is the ADC trick that keeps the query cost |cells|·m·kc
     distance computations + a code scan."""
-    import math
-
     q, _ = _query_vec(spark, sf_dir, 0)
     cells = _probe_cells(spark, sf_dir, q, nprobe=2)
     coarse = kmeans_centroids(spark, sf_dir)
@@ -1110,31 +1099,10 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for cell in cells:
         qres = [float(q[i]) - coarse[cell][i] for i in range(DIM)]
-        lut = [
-            [
-                int(
-                    math.floor(
-                        sum(
-                            (qres[s * PQ_DSUB + i] - rcents[s][j][i]) ** 2
-                            for i in range(PQ_DSUB)
-                        )
-                        * 1e6
-                        + 0.5
-                    )
-                )
-                for j in range(PQ_K)
-            ]
-            for s in range(PQ_M)
-        ]
-        dist = None
-        for s in range(PQ_M):
-            term = F.element_at(
-                F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
-            )
-            dist = term if dist is None else dist + term
+        lut = _adc_lut(qres, rcents)
         parts.append(
             codes.where((F.col("vec_id") != 0) & (F.col("cluster") == cell))
-            .select("vec_id", dist.cast("bigint").alias("adc_micro"))
+            .select("vec_id", _adc_dist_col(lut).alias("adc_micro"))
         )
     out = parts[0]
     for p in parts[1:]:

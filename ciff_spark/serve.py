@@ -225,7 +225,7 @@ class LocalSearcher:
 
     def search(
         self, query: str, k: int = 10, stats: dict | None = None,
-        scoring: str = "bm25", allowed_docids=None,
+        scoring: str = "bm25", *, allowed_docids=None,
     ) -> list[tuple[int, float]]:
         """BM25 top-k: [(docid, score)] — identical semantics to the
         distributed readers (WAND over per-term blocks; shards of a term
@@ -234,9 +234,10 @@ class LocalSearcher:
         ``scoring="impact"`` serves quantized impact indexes (Σ stored tf,
         term weight 1.0, max_tf block bounds) — PISA's quantized scorer over
         the same artifact the distributed impact reader queries.
-        ``allowed_docids``: optional iterable/array of docids — metadata-
-        filtered serving: results restrict to these docs while idf/avgdl
-        stay collection-level, and WAND pruning remains sound (θ tracks the
+        ``allowed_docids`` (keyword-only — subclasses extend the positional
+        tail): optional iterable/array of docids — metadata-filtered
+        serving: results restrict to these docs while idf/avgdl stay
+        collection-level, and WAND pruning remains sound (θ tracks the
         k-th best ALLOWED score; see wand_topk). The distributed analog is
         ``IndexReader.topk(doc_filter=...)``."""
         if scoring not in ("bm25", "impact"):
@@ -251,10 +252,7 @@ class LocalSearcher:
             w = 1.0 if impact else float(idf_np(self._df[t], self.num_docs))
             lists.append((w, blocks, np.asarray(prevs, np.int64)))
             caches.append(cache)
-        mask = None
-        if allowed_docids is not None:
-            mask = np.zeros(self.num_docs, bool)
-            mask[np.asarray(list(allowed_docids), np.int64)] = True
+        mask = self._allowed_mask(allowed_docids, self.num_docs)
         d, s = wand_topk(
             lists, self.dl, 0, self.avgdl, k,
             decode_caches=caches,
@@ -262,6 +260,27 @@ class LocalSearcher:
             stats=stats, scoring=scoring, allowed=mask,
         )
         return list(zip(d.tolist(), s.tolist()))
+
+    @staticmethod
+    def _allowed_mask(allowed_docids, n_docs: int) -> np.ndarray | None:
+        """Validated boolean mask over docids [0, n_docs) from an iterable of
+        allowed docids. Negative ids would WRAP under fancy indexing (silently
+        allowing the wrong document) and ids ≥ n_docs would raise a bare
+        IndexError — both fail loud here instead."""
+        if allowed_docids is None:
+            return None
+        ids = np.asarray(
+            allowed_docids if hasattr(allowed_docids, "__array__") else list(allowed_docids),
+            np.int64,
+        )
+        if ids.size and (ids.min() < 0 or ids.max() >= n_docs):
+            raise ValueError(
+                f"allowed_docids outside [0, {n_docs}): "
+                f"min={ids.min() if ids.size else None}, max={ids.max() if ids.size else None}"
+            )
+        mask = np.zeros(n_docs, bool)
+        mask[ids] = True
+        return mask
 
     def search_batch(
         self, queries: list[str], k: int = 10, stats: dict | None = None,
@@ -367,6 +386,8 @@ class FreshSearcher(LocalSearcher):
         scoring: str = "bm25",
         round_decimals: int | None = None,
         prune: bool = True,
+        *,
+        allowed_docids=None,
     ) -> list[tuple[int, float]]:
         """``stats`` and ``scoring`` hold LocalSearcher.search's positions
         (substitutability — a caller written against the base class must not
@@ -379,7 +400,10 @@ class FreshSearcher(LocalSearcher):
         scores (docid tiebreak) — the driver/oracle ordering contract; the
         pruned path guards its threshold with the ½-ulp ε exactly as
         LocalSearcher does. ``prune=False``: exhaustive base ∪ segment
-        scoring (decoded == total) — the independent-engine A/B baseline."""
+        scoring (decoded == total) — the independent-engine A/B baseline.
+        ``allowed_docids`` (keyword-only, same contract as LocalSearcher):
+        restrict results to these docs — base AND segment docids accepted;
+        fresh collection stats stay unfiltered."""
         if scoring not in ("bm25", "impact"):
             raise ValueError(f"unknown scoring {scoring!r}")
         impact = scoring == "impact"
@@ -410,10 +434,11 @@ class FreshSearcher(LocalSearcher):
             # segment blocks are always fully decoded (exhaustive by design)
             stats["total_blocks"] = stats.get("total_blocks", 0) + n_seg_blocks
             stats["decoded_blocks"] = stats.get("decoded_blocks", 0) + n_seg_blocks
+        mask = self._allowed_mask(allowed_docids, self.fresh_num_docs)
         if not prune:
             return self._search_exhaustive(
                 terms, base_lists, seg_decoded, fresh_df, k, stats, impact,
-                round_decimals,
+                round_decimals, mask,
             )
 
         # ---- pruned path ------------------------------------------------
@@ -421,6 +446,9 @@ class FreshSearcher(LocalSearcher):
         seg_d, seg_s = self._score_segments(
             terms, seg_decoded, fresh_df, impact, round_decimals
         )
+        if mask is not None and len(seg_d):
+            keep = mask[seg_d]
+            seg_d, seg_s = seg_d[keep], seg_s[keep]
         order = np.argsort(-seg_s, kind="stable")[:k]  # seg_d docid-ascending
         seg_top_d, seg_top_s = seg_d[order], seg_s[order]
         theta0 = float(seg_top_s[-1]) if len(seg_top_s) >= k else None
@@ -446,6 +474,7 @@ class FreshSearcher(LocalSearcher):
                 round_decimals=round_decimals, initial_theta=theta0,
                 decode_caches=caches, bound_scale=bscale, stats=stats,
                 scoring=scoring,
+                allowed=mask[: self.num_docs] if mask is not None else None,
             )
         else:
             base_d = np.empty(0, np.int64)
@@ -504,10 +533,12 @@ class FreshSearcher(LocalSearcher):
         stats: dict | None,
         impact: bool,
         round_decimals: int | None,
+        mask: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Exhaustive base ∪ segment scoring (the pre-pruning semantics):
         decode every block of the query terms' lists, one unique+add.at
-        accumulation pass, rank by (-score, docid)."""
+        accumulation pass, rank by (-score, docid). ``mask``: allowed-docid
+        filter over the fresh docid range."""
         from ciff_spark.functions.codec import decode_block_dict
         from ciff_spark.functions.scoring import tfnorm_np
 
@@ -556,6 +587,9 @@ class FreshSearcher(LocalSearcher):
         np.add.at(scores, inv, allc)
         if round_decimals is not None:
             scores = np.round(scores, round_decimals)
+        if mask is not None and len(uniq):
+            keep = mask[uniq]
+            uniq, scores = uniq[keep], scores[keep]
         # rank by (-score, docid): uniq is already docid-ascending, so a
         # stable sort on -score preserves the tiebreak
         order = np.argsort(-scores, kind="stable")[:k]

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ciff_spark.functions.codec import encode_many
+from ciff_spark.functions.codec import BLOCK_SPAN, encode_many
 from ciff_spark.store import IndexStore
 
 JSONL_SCHEMA = T.StructType(
@@ -297,5 +297,6 @@ def _write_tables(
         f"{source_desc} (quantize={quantize}, doclength={doclength_mode})",
         bounds_avgdl=avgdl, n_pgroups=n_pgroups,
         q_lo=qrange[0], q_hi=qrange[1],
+        block_span=BLOCK_SPAN, span_adaptive=True,
     )
     return store

@@ -69,7 +69,12 @@ META_SCHEMA = (
     # Streaming appends MUST quantize new scores with this frozen range
     # (clamped) — re-fitting per batch would make stored impacts incomparable
     # across segments.
-    "bounds_avgdl double, n_pgroups int, q_lo double, q_hi double"
+    # block_span/span_adaptive: the block-geometry policy the base was built
+    # with — streaming appends and compaction re-encodes read these so a
+    # refreshed index keeps its CONFIGURED geometry (NULL on pre-r5 metas →
+    # the codec defaults).
+    "bounds_avgdl double, n_pgroups int, q_lo double, q_hi double, "
+    "block_span int, span_adaptive boolean"
 )
 
 
@@ -137,6 +142,7 @@ class IndexStore:
         shard_size: int, block_size: int, description: str,
         bounds_avgdl: float | None = None, n_pgroups: int | None = None,
         q_lo: float | None = None, q_hi: float | None = None,
+        block_span: int | None = None, span_adaptive: bool | None = None,
     ) -> None:
         """Write the single Header row driver-side (pyarrow, atomic rename,
         Spark-readable types per META_SCHEMA) — one row must not cost a job."""
@@ -164,6 +170,12 @@ class IndexStore:
                 ),
                 "q_hi": pa.array(
                     [None if q_hi is None else float(q_hi)], pa.float64()
+                ),
+                "block_span": pa.array(
+                    [None if block_span is None else int(block_span)], pa.int32()
+                ),
+                "span_adaptive": pa.array(
+                    [span_adaptive], pa.bool_()
                 ),
             }
         )

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ciff_spark.build import POSTINGS_SCHEMA, BuildConfig, build_index
-from ciff_spark.functions.codec import encode_many
+from ciff_spark.functions.codec import BLOCK_SPAN, encode_many
 from ciff_spark.functions.tokenizer import tokenize_expr
 from ciff_spark.plans.rank import add_dense_docid, release_rank_cache
 from ciff_spark.store import IndexStore
@@ -119,6 +119,18 @@ def _next_docid(store: IndexStore) -> int:
     return hi + 1
 
 
+
+def _span_policy(meta: dict) -> tuple[int | None, bool]:
+    """(block_span, span_adaptive) the base index was built with — appends
+    and compaction re-encodes keep the CONFIGURED geometry instead of
+    silently reverting to codec defaults. Persisted block_span uses 0 for
+    "unbounded"; absent fields (pre-r5 metas) mean the codec defaults."""
+    raw = meta.get("block_span")
+    span = BLOCK_SPAN if raw is None else (None if int(raw) == 0 else int(raw))
+    sa = meta.get("span_adaptive")
+    return span, True if sa is None else bool(sa)
+
+
 def append_batch(
     spark: SparkSession,
     store: IndexStore,
@@ -140,6 +152,7 @@ def append_batch(
     if batch_df.isEmpty():
         return
     base = _next_docid(store)
+    span_policy = _span_policy(store.meta_local()) if store.exists("meta") else (BLOCK_SPAN, True)
 
     ranked = add_dense_docid(batch_df.select(*id_cols, text_col), list(id_cols))
     toks = ranked.select(
@@ -150,7 +163,7 @@ def append_batch(
     try:
         _encode_and_commit_segment(
             toks, docs_dir, post_dir, batch_id, block_size, n_encode_partitions,
-            id_cols,
+            id_cols, span_policy=span_policy,
         )
     finally:
         # a long-lived streaming query calls this once per micro-batch: the
@@ -230,7 +243,7 @@ def append_vector_batch(
             )
             _commit_segment_tables(
                 tf, docs, docs_dir, post_dir, batch_id, block_size,
-                n_encode_partitions,
+                n_encode_partitions, span_policy=_span_policy(meta),
             )
         finally:
             tf.unpersist()
@@ -246,6 +259,7 @@ def _encode_and_commit_segment(
     block_size: int,
     n_encode_partitions: int,
     id_cols: tuple[str, ...] = (),
+    span_policy: tuple[int | None, bool] = (BLOCK_SPAN, True),
 ) -> None:
     tf = (
         toks.select("docid", F.explode("tokens").alias("term"))
@@ -256,7 +270,8 @@ def _encode_and_commit_segment(
         "docid", *id_cols, F.coalesce(F.size("tokens"), F.lit(0)).alias("doclength")
     )
     _commit_segment_tables(
-        tf, docs, docs_dir, post_dir, batch_id, block_size, n_encode_partitions
+        tf, docs, docs_dir, post_dir, batch_id, block_size, n_encode_partitions,
+        span_policy=span_policy,
     )
 
 
@@ -268,10 +283,12 @@ def _commit_segment_tables(
     batch_id: int,
     block_size: int,
     n_encode_partitions: int,
+    span_policy: tuple[int | None, bool] = (BLOCK_SPAN, True),
 ) -> None:
     """Encode skinny (term, docid, tf) rows into segment postings and commit
     postings-then-docs (the docs ``_SUCCESS`` is the commit marker)."""
     bs = int(block_size)
+    bspan, badapt = span_policy
 
     # segments always carry dl-FREE bounds: the collection avgdl keeps moving
     # as batches arrive, and a bound computed against a stale (lower) avgdl
@@ -290,6 +307,8 @@ def _commit_segment_tables(
             None,
             1.0,
             bs,
+            block_span=bspan,
+            span_adaptive=badapt,
         )
         yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
 
@@ -476,6 +495,7 @@ def _fold_segments(
         from ciff_spark.functions.codec import decode_postings, encode_many
 
         ssz, bsz, base0, avg2 = shard_size, block_size, old_num, avgdl2
+        bspan_c, badapt_c = _span_policy(meta)
 
         def reencode(iterator):
             codes_parts, d_parts, t_parts, vocab, seen = [], [], [], [], {}
@@ -499,7 +519,8 @@ def _fold_segments(
             terms_arr = np.asarray(vocab, object)[codes]
             doclens = dl_bc.value[docids - base0] if dl_bc is not None else None
             rows = encode_many(
-                terms_arr, docids // ssz, docids, tfs, doclens, avg2, bsz
+                terms_arr, docids // ssz, docids, tfs, doclens, avg2, bsz,
+                block_span=bspan_c, span_adaptive=badapt_c,
             )
             yield pd.DataFrame(rows, columns=["term", "shard", "df", "cf", "blocks"])
 
@@ -617,6 +638,9 @@ def _fold_segments(
             # compaction — dropping it would silently flip later
             # append_vector_batch calls to truncation mode
             q_lo=meta.get("q_lo"), q_hi=meta.get("q_hi"),
+            # the base's block-geometry policy survives compaction too
+            block_span=meta.get("block_span"),
+            span_adaptive=meta.get("span_adaptive"),
         )
     finally:
         seg_docs.unpersist()

@@ -152,3 +152,13 @@ def test_fresh_pruned_equals_exhaustive_with_segments(spark, tmp_path):
     for q in queries:
         FreshSearcher(root).search(q, k=3, stats=st)
     assert 0 < st["decoded_blocks"] < st["total_blocks"]
+    # filtered fresh serving: allowed set spanning base AND segment docids,
+    # pruned ≡ exhaustive under the same mask
+    fs = FreshSearcher(root)
+    allowed = np.arange(0, fs.fresh_num_docs, 2)
+    assert allowed.max() >= fs.num_docs  # really covers segment docids
+    for q in queries[:4]:
+        a = FreshSearcher(root).search(q, k=7, allowed_docids=allowed)
+        b = FreshSearcher(root).search(q, k=7, prune=False, allowed_docids=allowed)
+        assert a == b, q
+        assert all(d % 2 == 0 for d, _ in a), q
