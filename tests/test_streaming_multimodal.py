@@ -150,6 +150,43 @@ def test_torn_segment_invisible_to_readers(spark, tmp_path):
     assert FreshSearcher(root).fresh_num_docs == len(pdf)
 
 
+def test_span_policy_persists_and_governs_appends(spark, tmp_path):
+    """The base index's block-geometry policy (block_span / span_adaptive)
+    must persist in meta and govern streaming appends: an UNBOUNDED-span
+    index keeps count-only geometry on its segments instead of silently
+    reverting to the default width cap."""
+    from ciff_spark.build import BuildConfig, build_index
+    from ciff_spark.streaming.incremental import _span_policy, append_batch
+
+    pdf = transcripts_pdf(12, seed=3).sort_values(["conv_id", "turn_idx"])
+    cut = len(pdf) // 2
+    root = str(tmp_path / "span_policy_idx")
+    build_index(
+        spark.createDataFrame(pdf.iloc[:cut]), root,
+        config=BuildConfig(n_shards=1, n_pgroups=2, block_size=8, block_span=None),
+        resume=False,
+    )
+    store = IndexStore(root)
+    meta = store.meta_local()
+    assert meta["block_span"] == 0  # 0 persists "unbounded"
+    assert meta["span_adaptive"] is True
+    assert _span_policy(meta) == (None, True)
+    # pre-r5 meta (fields absent) → codec defaults
+    from ciff_spark.functions.codec import BLOCK_SPAN
+
+    assert _span_policy({}) == (BLOCK_SPAN, True)
+
+    append_batch(spark, store, spark.createDataFrame(pdf.iloc[cut:]), 0,
+                 block_size=8)
+    # every segment block must be pure count-geometry: 8 postings per block
+    # except each list's last — a width cap would break blocks early
+    rows = read_segments(spark, store, SEG_POSTINGS).collect()
+    assert rows
+    for r in rows:
+        for b in r["blocks"][:-1]:
+            assert b["count"] == 8, (r["term"], [x["count"] for x in r["blocks"]])
+
+
 def test_concat_compaction_equals_rebuild(spark, tmp_path):
     """Metamorphic: concat compaction (decode+re-encode SEGMENTS only, append
     rows, extend shard_sizes, merge stats) must be semantically identical to
