@@ -390,9 +390,16 @@ WHERE round(d / (n1.n * n2.n), 6) >= {NEARDUP_COS}
 KMEANS_K = 4
 KMEANS_ITERS = 3
 _KMEANS_CACHE: dict[tuple, list[list[float]]] = {}
-#: root for materialized cluster-partitioned IVF layouts (content-addressed
-#: by the embeddings table's fingerprint — never stale, safe to clear)
-IVF_MATERIALIZE_ROOT = "/tmp/ciff_spark_ivf"
+#: root for materialized ANN layouts (IVF partitions, PQ/IVFADC codes) —
+#: content-addressed by the embeddings table's fingerprint, so entries are
+#: never stale and the directory is safe to clear. On a cluster point this
+#: at shared storage (every executor must read it); the env override is the
+#: deployment knob.
+import os as _os
+
+IVF_MATERIALIZE_ROOT = _os.environ.get(
+    "CIFF_SPARK_ANN_ROOT", "/tmp/ciff_spark_ivf"
+)
 
 
 def _embeddings_fingerprint(sf_dir: str) -> str:
