@@ -88,7 +88,9 @@ class LocalSearcher:
         self._all_ds = None
         from collections import OrderedDict
 
-        # term → (blocks, prevs, decode_cache) — LRU over CACHE_TERMS/_BYTES
+        # term → (blocks, prevs, decode_cache, geom_cache) — LRU over
+        # CACHE_TERMS/_BYTES; geom_cache persists the kernel's per-list
+        # block-geometry arrays across queries (keyed by scoring mode)
         self._hot: OrderedDict[str, tuple] = OrderedDict()
         self._hot_bytes: dict[str, int] = {}
         self._hot_total = 0
@@ -138,7 +140,8 @@ class LocalSearcher:
         return out
 
     def _fetch_lists(self, terms: list[str]):
-        """term → (blocks ordered by shard, decode_prevs, decode_cache).
+        """term → (blocks ordered by shard, decode_prevs, decode_cache,
+        geom_cache).
         Each shard's first block decodes from −1 (how it was encoded); later
         blocks chain on their predecessor's max_docid. Served from the hot
         LRU when possible; only missing terms touch the parquet files."""
@@ -150,7 +153,7 @@ class LocalSearcher:
         present = [t for t in terms if self._df.get(t)]
         if not present:
             return {}
-        out: dict[str, tuple[list, list, dict]] = {}
+        out: dict[str, tuple[list, list, dict, dict]] = {}
         missing = []
         for t in present:
             hit = self._hot.get(t)
@@ -196,8 +199,8 @@ class LocalSearcher:
             for r in rows:
                 entry = out.get(r["term"])
                 if entry is None:
-                    entry = out[r["term"]] = ([], [], {})
-                blocks, prevs, _cache = entry
+                    entry = out[r["term"]] = ([], [], {}, {})
+                blocks, prevs, _cache, _geom = entry
                 prev = -1  # shard-local chain starts at -1
                 for b in r["blocks"]:
                     blocks.append(b)
@@ -247,17 +250,19 @@ class LocalSearcher:
         if not lists_by_term:
             return []
         impact = scoring == "impact"
-        lists, caches = [], []
-        for t, (blocks, prevs, cache) in lists_by_term.items():
+        lists, caches, geoms = [], [], []
+        for t, (blocks, prevs, cache, geom) in lists_by_term.items():
             w = 1.0 if impact else float(idf_np(self._df[t], self.num_docs))
             lists.append((w, blocks, np.asarray(prevs, np.int64)))
             caches.append(cache)
+            geoms.append(geom)
         mask = self._allowed_mask(allowed_docids, self.num_docs)
         d, s = wand_topk(
             lists, self.dl, 0, self.avgdl, k,
             decode_caches=caches,
             bound_scale=1.0 if impact else self.bound_scale,
             stats=stats, scoring=scoring, allowed=mask,
+            geom_caches=geoms,
         )
         return list(zip(d.tolist(), s.tolist()))
 
@@ -455,15 +460,16 @@ class FreshSearcher(LocalSearcher):
 
         # 2. base via the interval Block-Max kernel under FRESH statistics;
         #    bounds inflate by the sup avgdl-drift ratio (sound, see class doc)
-        lists, caches = [], []
+        lists, caches, geoms = [], [], []
         for t in terms:
             ent = base_lists.get(t)
             if ent is None:
                 continue
-            blocks, prevs, cache = ent
+            blocks, prevs, cache, geom = ent
             w = 1.0 if impact else float(idf_np(fresh_df[t], self.fresh_num_docs))
             lists.append((w, blocks, np.asarray(prevs, np.int64)))
             caches.append(cache)
+            geoms.append(geom)
         if lists:
             bscale = (
                 1.0 if impact
@@ -475,6 +481,7 @@ class FreshSearcher(LocalSearcher):
                 decode_caches=caches, bound_scale=bscale, stats=stats,
                 scoring=scoring,
                 allowed=mask[: self.num_docs] if mask is not None else None,
+                geom_caches=geoms,
             )
         else:
             base_d = np.empty(0, np.int64)
@@ -550,7 +557,7 @@ class FreshSearcher(LocalSearcher):
                 continue
             idf = 1.0 if impact else float(idf_np(df, self.fresh_num_docs))
             if t in base_lists:
-                blocks, prevs, bcache = base_lists[t]
+                blocks, prevs, bcache, _geom = base_lists[t]
                 if stats is not None:
                     stats["total_blocks"] = stats.get("total_blocks", 0) + len(blocks)
                 parts_d, parts_tf = [], []

@@ -34,6 +34,60 @@ from ciff_spark.functions.scoring import tfnorm_np
 _decode_block_arrays = decode_block_dict  # handles implicit single-posting blocks
 
 
+def list_geometry(
+    blocks: list[dict],
+    impact: bool,
+    dl: np.ndarray,
+    start_docid: int,
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lo, hi, mtf) block-geometry arrays for one posting list — the
+    per-block Python dict walk, factored out so serving callers can cache
+    it per (term, scoring): it is query-INDEPENDENT (lo/hi from the stored
+    block ranges, mtf the raw per-block tf bound — idf/bound_scale apply
+    vectorized afterwards), and for hot multi-thousand-block lists it
+    dominates the per-query kernel setup cost otherwise."""
+    hi = np.array([b["max_docid"] for b in blocks], np.int64)
+    lo = np.empty_like(hi)
+    lo[0] = 0
+    lo[1:] = hi[:-1] + 1
+    # true block coverage: min_docid (width-capped blocks) exposes the
+    # docid GAPS between a sparse list's blocks — intervals in a gap get
+    # no bound contribution from this list at all, which is where the
+    # pruning win on selective queries comes from. Implicit single-
+    # posting blocks (count==1, null min_docid) cover exactly their one
+    # docid. Indexes written before the field fall back to the
+    # conservative prev_max+1 coverage.
+    counts = np.array([b["count"] for b in blocks], np.int64)
+    mins = np.array(
+        [b.get("min_docid") if b.get("min_docid") is not None else -1 for b in blocks],
+        np.int64,
+    )
+    lo = np.where(mins >= 0, np.maximum(lo, mins), lo)
+    lo = np.where(counts == 1, hi, lo)
+    if impact:
+        mtf = np.array([b["max_tf"] for b in blocks], np.float64)
+    else:
+        mtf = np.array(
+            [
+                b["max_tfnorm"] if b["max_tfnorm"] is not None else np.nan
+                for b in blocks
+            ],
+            np.float64,
+        )
+        nanm = np.isnan(mtf)
+        if nanm.any():
+            # implicit singles: the exact tf bound derives from the one
+            # posting's (max_tf, dl[max_docid]) at the caller's avgdl —
+            # exact, and bound_scale (≥1) keeps it a valid upper bound
+            mtf[nanm] = tfnorm_np(
+                np.array([b["max_tf"] for b, m in zip(blocks, nanm) if m], np.int64),
+                dl[hi[nanm] - start_docid],
+                avgdl,
+            )
+    return lo, hi, mtf
+
+
 def wand_topk(
     lists: list[tuple[float, list[dict]]],
     dl: np.ndarray,
@@ -47,6 +101,7 @@ def wand_topk(
     stats: dict | None = None,
     scoring: str = "bm25",
     allowed: np.ndarray | None = None,
+    geom_caches: list[dict] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k over one docid shard.
 
@@ -92,6 +147,12 @@ def wand_topk(
     equivalent, and blocks must stay docid-ascending on disk for the lo/hi
     geometry — so decode count IS the pruning metric to watch.
 
+    ``geom_caches``: optional per-list dicts (aligned with ``lists``, like
+    ``decode_caches``) persisting the ``list_geometry`` arrays across calls
+    keyed by scoring mode — valid as long as the caller's dl/avgdl are
+    fixed (a searcher instance), since the cached mtf embeds the implicit-
+    single bound derivation at that avgdl.
+
     ``allowed``: optional boolean mask aligned with ``dl`` (index =
     docid − start_docid) — metadata-filtered top-k: only allowed docs enter
     the heap. Pruning stays sound: θ is the k-th best ALLOWED score, and an
@@ -118,45 +179,14 @@ def wand_topk(
     # block geometry: per list, arrays of lo/hi/bound (+ prev_max for decode)
     los, his, bounds, prevs = [], [], [], []
     lists = [entry if len(entry) == 3 else (*entry, None) for entry in lists]
-    for idf, blocks, decode_prevs in lists:
-        hi = np.array([b["max_docid"] for b in blocks], np.int64)
-        lo = np.empty_like(hi)
-        lo[0] = 0
-        lo[1:] = hi[:-1] + 1
-        # true block coverage: min_docid (width-capped blocks) exposes the
-        # docid GAPS between a sparse list's blocks — intervals in a gap get
-        # no bound contribution from this list at all, which is where the
-        # pruning win on selective queries comes from. Implicit single-
-        # posting blocks (count==1, null min_docid) cover exactly their one
-        # docid. Indexes written before the field fall back to the
-        # conservative prev_max+1 coverage.
-        counts = np.array([b["count"] for b in blocks], np.int64)
-        mins = np.array(
-            [b.get("min_docid") if b.get("min_docid") is not None else -1 for b in blocks],
-            np.int64,
-        )
-        lo = np.where(mins >= 0, np.maximum(lo, mins), lo)
-        lo = np.where(counts == 1, hi, lo)
-        if impact:
-            mtf = np.array([b["max_tf"] for b in blocks], np.float64)
-        else:
-            mtf = np.array(
-                [
-                    b["max_tfnorm"] if b["max_tfnorm"] is not None else np.nan
-                    for b in blocks
-                ],
-                np.float64,
-            )
-            nanm = np.isnan(mtf)
-            if nanm.any():
-                # implicit singles: the exact tf bound derives from the one
-                # posting's (max_tf, dl[max_docid]) at the caller's avgdl —
-                # exact, and bound_scale (≥1) keeps it a valid upper bound
-                mtf[nanm] = tfnorm_np(
-                    np.array([b["max_tf"] for b, m in zip(blocks, nanm) if m], np.int64),
-                    dl[hi[nanm] - start_docid],
-                    avgdl,
-                )
+    gcaches = geom_caches if geom_caches is not None else [None] * len(lists)
+    for (idf, blocks, decode_prevs), gc in zip(lists, gcaches):
+        geom = gc.get(scoring) if gc is not None else None
+        if geom is None:
+            geom = list_geometry(blocks, impact, dl, start_docid, avgdl)
+            if gc is not None:
+                gc[scoring] = geom
+        lo, hi, mtf = geom
         los.append(lo)
         his.append(hi)
         bounds.append(np.maximum(idf * mtf, 0.0) * float(bound_scale))
