@@ -272,28 +272,6 @@ def build_index(
                 F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
             ).persist()
 
-        if not have_stats:
-            # ONE materializing pass: this first action over dlen pays the
-            # tokenize + the single shuffle AND computes the doclengths;
-            # Σ doclength ≡ total_terms, so the former standalone
-            # count()/sum over the full occurrence cache — a complete second
-            # pass over the cached relation — is gone (~10% of the 1-core
-            # build wall; the per-stage _lineage walls exposed it).
-            t0 = time.time()
-            if dlen is not None:
-                total_terms = int(dlen.agg(F.sum("doclength")).first()[0] or 0)
-            else:
-                # docs + shard_sizes already written but meta absent (crash
-                # in the window before the meta write): every doclength is in
-                # the committed shard_sizes bins — sum driver-side, 0 jobs
-                # (_dl_array is the ONE reader of the packed dl_bin format)
-                total_terms = int(_dl_array(store, num_docs).sum())
-            avgdl = total_terms / num_docs if num_docs else 0.0
-            pending_lineage.append(
-                ("tokenize_shuffle", -1, total_terms, None, None,
-                 int((time.time() - t0) * 1000), "done")
-            )
-
         if need_ss:
             t0 = time.time()
             ssz = shard_size
@@ -319,6 +297,20 @@ def build_index(
             )
             store.write("shard_sizes", packed)
             pending_lineage.append(("shard_sizes", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
+
+        if not have_stats:
+            # Σ doclength ≡ total_terms, and every doclength now sits in the
+            # committed shard_sizes bins — sum driver-side, ZERO extra jobs.
+            # (The shard_sizes write above was the ONE materializing pass
+            # that paid the tokenize + the single shuffle; the former
+            # standalone dlen.agg() was a whole extra pass over the cache.)
+            t0 = time.time()
+            total_terms = int(_dl_array(store, num_docs).sum()) if num_docs else 0
+            avgdl = total_terms / num_docs if num_docs else 0.0
+            pending_lineage.append(
+                ("tokenize_shuffle", -1, total_terms, None, None,
+                 int((time.time() - t0) * 1000), "done")
+            )
 
         if need_docs:
             def _write_docs():
@@ -434,18 +426,36 @@ def build_index(
                 # from the files just written, driver-side (footer num_rows,
                 # file sizes, and the skinny df column — vocab-sized reads;
                 # on Iceberg these come free from snapshot stats)
+                # skip the isin filter when the batch covers every pgroup —
+                # a per-row 64-way membership test on the full occurrence
+                # stream is pure waste in the (default) single-batch build
+                src = tf if len(batch) == cfg.n_pgroups else tf.where(pgroup_expr.isin(batch))
                 (
-                    tf.where(pgroup_expr.isin(batch))
-                    .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
+                    src.mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
                     .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
+                    # write clustering (≙ Iceberg write.distribution-mode=hash):
+                    # the encode partitioning is (pgroup, shard) for skew, so a
+                    # bare partitionBy write opens one file per (task, pgroup)
+                    # — measured 1601 ~21 KB files for a 34 MB table, +3 s of
+                    # write wall and 1601 footer opens for every later scan.
+                    # One hash exchange of the ALREADY-ENCODED blocks (the
+                    # smallest representation the data ever has) lands each
+                    # pgroup in exactly one task → one file per pgroup
+                    # (task count capped at the scheduler's parallelism; a
+                    # task holding two pgroups still writes one file each).
+                    .repartition(
+                        min(len(batch), spark.sparkContext.defaultParallelism),
+                        "pgroup",
+                    )
                 ).write.mode("append").partitionBy("pgroup").parquet(store.path("postings"))
                 wall = int((time.time() - t0) * 1000)
                 # manifest AFTER the data commit → a crash between the two re-runs
                 # the batch; the cleanup above makes that idempotent
+                stats_by_g = _pgroup_batch_stats(store, batch)
                 _lineage_rows(
                     store, spark,
                     [
-                        ("postings", g, *_pgroup_file_stats(store, g), wall, "done")
+                        ("postings", g, *stats_by_g.get(g, (0, 0, 0)), wall, "done")
                         for g in batch
                     ],
                 )
@@ -475,17 +485,25 @@ def build_index(
         # driver-side idf lookups (IndexReader._idf_map, LocalSearcher) can
         # row-group-prune their term-IN reads — on a billion-term vocabulary
         # an unsorted column defeats the pushdown entirely
-        ts = (
-            store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int")
-            .groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.min("pgroup").alias("pgroup"),
+        if _table_num_rows(store, "postings") <= TERM_STATS_DRIVER_MAX_ROWS:
+            # small-vocabulary fast path: one multithreaded pyarrow scan of
+            # the three skinny columns + a vectorized group_by, written
+            # globally term-sorted — saves the scan+exchange+write Spark job
+            # whose fixed cost dominates at this table size. The row gate
+            # keeps the billion-term path on the distributed aggregation.
+            _write_term_stats_local(store)
+        else:
+            ts = (
+                store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int")
+                .groupBy("term")
+                .agg(
+                    F.sum("df").alias("df"),
+                    F.sum("cf").alias("cf"),
+                    F.min("pgroup").alias("pgroup"),
+                )
+                .sortWithinPartitions("term")
             )
-            .sortWithinPartitions("term")
-        )
-        store.write("term_stats", ts)
+            store.write("term_stats", ts)
         pending_lineage.append(("term_stats", -1, None, None, None, int((time.time() - t0) * 1000), "done"))
 
     # ---- stage: meta (≙ CIFF Header) ----------------------------------------
@@ -505,6 +523,66 @@ def build_index(
     if pending_lineage:
         _lineage_rows(store, spark, pending_lineage)
     return store
+
+
+#: postings (term, shard) row count at or below which term_stats aggregates
+#: driver-side (one pyarrow scan of 3 skinny columns; ~40 B/row of transient
+#: memory) instead of scheduling a Spark scan+shuffle+write — the same
+#: size-gated driver/executor split the meta/lineage stages already use.
+TERM_STATS_DRIVER_MAX_ROWS = 4_000_000
+
+
+def _write_term_stats_local(store: IndexStore) -> None:
+    """term_stats via driver-side pyarrow: scan (term, df, cf) + the hive
+    ``pgroup`` key from the postings dirs, group_by term (sum, sum, min),
+    write globally term-sorted parquet (8k-row row groups so term-IN reads
+    row-group-prune at least as well as the Spark path's per-partition
+    sort). Output schema/types identical to the distributed aggregation."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64()),
+         ("pgroup", pa.int32())]
+    )
+    parts = []
+    for d in sorted(glob.glob(store.path("postings") + "/pgroup=*")):
+        g = int(os.path.basename(d).split("=", 1)[1])
+        fs = glob.glob(f"{d}/*.parquet")
+        if not fs:
+            continue
+        t = pads.dataset(fs, format="parquet").to_table(columns=["term", "df", "cf"])
+        parts.append(t.append_column("pgroup", pa.array([g] * t.num_rows, pa.int32())))
+    if parts:
+        allt = pa.concat_tables(parts)
+        agg = allt.group_by("term").aggregate(
+            [("df", "sum"), ("cf", "sum"), ("pgroup", "min")]
+        )
+        out = pa.table(
+            {
+                "term": agg["term"],
+                "df": agg["df_sum"].cast(pa.int64()),
+                "cf": agg["cf_sum"].cast(pa.int64()),
+                "pgroup": agg["pgroup_min"].cast(pa.int32()),
+            }
+        ).sort_by("term")
+    else:
+        out = pa.table({f.name: pa.array([], f.type) for f in schema})
+    final = store.path("term_stats")
+    tmp = f"{final}.__tmp_{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
+    papq.write_table(out, f"{tmp}/part-00000.parquet", row_group_size=8192)
+    open(f"{tmp}/_SUCCESS", "w").close()
+    if os.path.isdir(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.rename(tmp, final)
 
 
 _LINEAGE_FIELDS = ("stage", "partition_id", "rows", "postings", "bytes", "wall_ms", "status")
@@ -540,24 +618,30 @@ def _lineage_rows(store, spark, rows: list[tuple]) -> None:
     papq.write_table(tbl, f"{d}/lineage-{uuid.uuid4().hex[:12]}.parquet")
 
 
-def _pgroup_file_stats(store: IndexStore, pgroup: int) -> tuple[int, int, int]:
-    """(rows, postings, bytes) for one pgroup dir from the files just
-    written — footer metadata + the skinny ``df`` column (one value per
-    (term, shard) row), driver-side pyarrow, no Spark job."""
+def _pgroup_batch_stats(store: IndexStore, batch: list[int]) -> dict[int, tuple[int, int, int]]:
+    """{pgroup: (rows, postings, bytes)} for the batch's pgroup dirs from the
+    files just written — ONE multithreaded pyarrow dataset scan of the skinny
+    ``df`` column over the whole batch (the per-pgroup, per-file read loop it
+    replaces cost ~0.5 ms × files × pgroups of driver wall), no Spark job."""
     import glob
     import os
 
-    import pyarrow.parquet as papq
+    import pyarrow.dataset as pads
 
-    rows = postings = nbytes = 0
-    for f in glob.glob(f"{store.path('postings')}/pgroup={pgroup}/*.parquet"):
-        pf = papq.ParquetFile(f)
-        nr = pf.metadata.num_rows
-        rows += nr
-        nbytes += os.path.getsize(f)
-        if nr:
-            postings += sum(papq.read_table(f, columns=["df"])["df"].to_pylist())
-    return rows, postings, nbytes
+    import pyarrow.compute as pc
+
+    out: dict[int, tuple[int, int, int]] = {}
+    for g in batch:
+        fs = glob.glob(f"{store.path('postings')}/pgroup={g}/*.parquet")
+        if not fs:
+            out[int(g)] = (0, 0, 0)
+            continue
+        nbytes = sum(os.path.getsize(f) for f in fs)
+        tbl = pads.dataset(fs, format="parquet").to_table(columns=["df"])
+        out[int(g)] = (
+            tbl.num_rows, int(pc.sum(tbl["df"]).as_py() or 0), nbytes,
+        )
+    return out
 
 
 def _check_resume_block_schema(store: IndexStore, done: set[int]) -> None:

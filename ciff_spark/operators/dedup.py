@@ -432,12 +432,62 @@ def dedup_clusters(
     return connected_components(docs, pairs.select("d1", "d2"))
 
 
+#: edge count at or below which connected components run as a driver-side
+#: union-find over the collected pair list (≤ ~32 MB of edge tuples) + ONE
+#: broadcast join back onto docs — near-dup edge sets are a tiny fraction of
+#: the corpus (25 pairs across 5 000 docs in the fixture), and the iterative
+#: join-per-round propagation costs 2+ Spark jobs per round for the same
+#: fixpoint. Above the gate the distributed propagation runs unchanged.
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_components(docs: DataFrame, edge_pdf) -> DataFrame:
+    """Union-find (smaller root wins ⇒ every root is its set's minimum) over
+    a driver-resident edge list; labels broadcast-join back onto ``docs``.
+    Identical fixpoint to the distributed propagation: cluster = min docid
+    reachable; docids untouched by any edge stay their own cluster."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edge_pdf["d1"].tolist(), edge_pdf["d2"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    spark = docs.sparkSession
+    lbl = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["docid", "cluster"]) if rows else [],
+        "docid long, cluster long",
+    )
+    return docs.select("docid").join(F.broadcast(lbl), "docid", "left").select(
+        "docid", F.coalesce("cluster", F.col("docid")).alias("cluster")
+    )
+
+
 def connected_components(
-    docs: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+    docs: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Min-label propagation over undirected ``pairs`` edges; every docid in
     ``docs`` gets cluster = min docid of its component (see
-    :func:`dedup_clusters` for the algorithm and scale notes)."""
+    :func:`dedup_clusters` for the algorithm and scale notes). Edge sets at
+    or below ``driver_max_edges`` short-circuit to a driver union-find +
+    one broadcast join — same fixpoint, none of the per-round jobs."""
+    if driver_max_edges > 0:
+        probe = pairs.select("d1", "d2").limit(driver_max_edges + 1).toPandas()
+        if len(probe) <= driver_max_edges:
+            return _driver_components(docs, probe)
     edges = (
         pairs.selectExpr("d1 AS src", "d2 AS dst")
         .unionAll(pairs.selectExpr("d2 AS src", "d1 AS dst"))

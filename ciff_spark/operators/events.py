@@ -154,28 +154,32 @@ def ev_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise TimeoutError(
                     f"streaming sessionize run {i} exceeded 600s on {sf_dir}"
                 )
-        got = spark.read.schema(
-            "user_id long, start_s double, end_s double, n_events long, "
-            "sum_value_micros long"
-        ).parquet(out).toPandas()
-        got = got[got["user_id"] < sentinel_uid]
-        res = pd.DataFrame(
-            {
-                "user_id": got["user_id"].astype("int64"),
-                "start_ts": pd.to_datetime(got["start_s"], unit="s").dt.strftime(
-                    "%Y-%m-%d %H:%M:%S"
-                ),
-                "end_ts": pd.to_datetime(got["end_s"], unit="s").dt.strftime(
-                    "%Y-%m-%d %H:%M:%S"
-                ),
-                "n_events": got["n_events"].astype("int64"),
-                "sum_value_micros": got["sum_value_micros"].astype("int64"),
-            }
-        )
-        return spark.createDataFrame(
-            res,
-            "user_id long, start_ts string, end_ts string, n_events long, "
-            "sum_value_micros long",
+        # pure column expressions over the emitted parquet — no driver hop
+        # (the pre-r6 version pulled every closed session through
+        # .toPandas(), reformatted in pandas, and createDataFrame'd back).
+        # timestamp_seconds keeps fractional seconds; date_format truncates
+        # to whole seconds exactly like the pandas strftime it replaces
+        # (session timezone is pinned UTC). localCheckpoint materializes the
+        # result BEFORE the temp workdir is removed in the finally block.
+        return (
+            spark.read.schema(
+                "user_id long, start_s double, end_s double, n_events long, "
+                "sum_value_micros long"
+            )
+            .parquet(out)
+            .where(F.col("user_id") < sentinel_uid)
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.date_format(
+                    F.timestamp_seconds(F.col("start_s")), "yyyy-MM-dd HH:mm:ss"
+                ).alias("start_ts"),
+                F.date_format(
+                    F.timestamp_seconds(F.col("end_s")), "yyyy-MM-dd HH:mm:ss"
+                ).alias("end_ts"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("sum_value_micros").cast("long").alias("sum_value_micros"),
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

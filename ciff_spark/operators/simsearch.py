@@ -190,7 +190,11 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    blocks = _packed_blocks(spark, sf_dir, NEARDUP_BLOCKS)
+    # pack ONCE, eagerly: the self-join's two legs otherwise re-run the whole
+    # embeddings scan + pack pass each (measured as two identical python
+    # stages in the plan); the checkpoint also gives the planner real sizes,
+    # so both legs resolve to broadcast joins of block rows
+    blocks = _packed_blocks(spark, sf_dir, NEARDUP_BLOCKS).localCheckpoint(eager=True)
     bp = [(i, j) for i in range(NEARDUP_BLOCKS) for j in range(NEARDUP_BLOCKS) if i <= j]
     pair_keys = spark.createDataFrame(bp, "bi int, bj int")
     joined = (

@@ -40,6 +40,13 @@ from ciff_spark.functions.tokenizer import tokenize_expr, tokenize_py, tokenize_
 from ciff_spark.store import IndexStore
 from ciff_spark.wand import wand_topk
 
+#: below this many docid shards, ``shared_theta`` seeding is skipped (the
+#: result is identical either way): the seed pass is an extra Spark job plus
+#: a driver round-trip, and with few remaining shards the blocks it lets the
+#: kernel skip are worth less than the job it costs (measured in the r5
+#: driver bench: 2.02 s seeded vs 1.70 s plain on the 8-shard index).
+SHARED_THETA_MIN_SHARDS = 16
+
 
 # ---------------------------------------------------------------------------
 # Relational (index-free) BM25 — built-ins only
@@ -174,14 +181,20 @@ class IndexReader:
             return qpdf, []
         return qpdf, sorted(qpdf["term"].unique().tolist())
 
-    def _idf_map(self, terms: list[str], scoring: str = "bm25") -> dict[str, float]:
-        """Per-term weight from ``term_stats`` — driver-side pyarrow read with
-        a term-IN predicate (row-group pruning on the sorted column), the same
-        access path LocalSearcher uses. |q| rows come back; no Spark job.
-        BM25 weight = idf(df, N); impact weight = 1.0 (the stored tf IS the
-        quantized impact; the read still filters to terms the index knows)."""
+    def _idf_map(
+        self, terms: list[str], scoring: str = "bm25"
+    ) -> tuple[dict[str, float], list[int]]:
+        """Per-term weight AND the terms' pgroup set from ``term_stats`` —
+        driver-side pyarrow read with a term-IN predicate (row-group pruning
+        on the sorted column), the same access path LocalSearcher uses. |q|
+        rows come back; no Spark job. BM25 weight = idf(df, N); impact weight
+        = 1.0 (the stored tf IS the quantized impact; the read still filters
+        to terms the index knows). The pgroup list lets ``topk`` prune the
+        postings scan to the queried pgroup partitions instead of opening
+        every pgroup dir's footers (the same pruning LocalSearcher has had
+        since r2 — the Spark reader scanned all of them until r6)."""
         if not terms:
-            return {}
+            return {}, []
         import glob
 
         import pyarrow.compute as pc
@@ -190,13 +203,14 @@ class IndexReader:
         n = int(self.meta["num_docs"])
         tbl = ds.dataset(
             glob.glob(self.store.path("term_stats") + "/*.parquet"), format="parquet"
-        ).to_table(columns=["term", "df"], filter=pc.field("term").isin(terms))
+        ).to_table(columns=["term", "df", "pgroup"], filter=pc.field("term").isin(terms))
+        pgroups = sorted({int(g) for g in tbl["pgroup"].to_pylist() if g is not None})
         if scoring == "impact":
-            return dict.fromkeys(tbl["term"].to_pylist(), 1.0)
+            return dict.fromkeys(tbl["term"].to_pylist(), 1.0), pgroups
         return {
             t: float(idf_np(int(d), n))
             for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
-        }
+        }, pgroups
 
     # -- public API -----------------------------------------------------------
 
@@ -246,7 +260,7 @@ class IndexReader:
         qpdf, terms = self._query_frame(queries)
         if not terms:
             return self.spark.createDataFrame([], "qid int, docid bigint, score double")
-        idf = self._idf_map(terms, scoring)
+        idf, pgroups = self._idf_map(terms, scoring)
         qpdf = qpdf[qpdf["term"].isin(idf)].copy()
         qpdf["idf"] = qpdf["term"].map(idf)
         if qpdf.empty:
@@ -254,9 +268,13 @@ class IndexReader:
         qdf = self.spark.createDataFrame(qpdf)
         rd = SCORE_DECIMALS if round_scores else None
 
-        # term-pruned scan: predicate pushdown on the term column
+        # pgroup-partition-pruned + term-pruned scan: the pgroup IN filter
+        # prunes whole pgroup=* partition dirs (PartitionFilters in the
+        # plan), so only the queried terms' dirs are even opened; the term
+        # IN predicate then row-group-prunes within them (PushedFilters)
         post = (
             self.store.read(self.spark, "postings")
+            .where(F.col("pgroup").isin(pgroups))
             .where(F.col("term").isin(sorted(qpdf["term"].unique().tolist())))
             .select("term", "shard", "blocks")
         )
@@ -270,6 +288,16 @@ class IndexReader:
         if mode == "exact":
             out = self._exact(pq, sizes, avgdl, k, rd, scoring=scoring, doc_filter=doc_filter)
         elif mode == "wand":
+            if shared_theta:
+                # seeding is one extra small job + a driver round-trip; it
+                # only repays itself when there are enough OTHER shards for
+                # the seeded threshold to prune (r5 driver bench: on the
+                # 8-shard documents index it cost 2.02 s vs plain WAND's
+                # 1.70 s). Below the gate the plain single-job path computes
+                # the identical top-k.
+                n_shards_idx = -(-int(self.meta["num_docs"]) // int(self.meta["shard_size"]))
+                if n_shards_idx < SHARED_THETA_MIN_SHARDS:
+                    shared_theta = False
             if shared_theta:
                 seed_pdf = self._wand(
                     pq.where(F.col("shard") == 0),

@@ -66,4 +66,27 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prefork_python_workers(spark)
     return spark
+
+
+def _prefork_python_workers(spark: SparkSession) -> None:
+    """Fork the reusable Arrow/pandas Python worker pool ONCE per session.
+
+    The first Arrow-UDF stage of a fresh session otherwise pays a fork +
+    pandas/pyarrow import per worker (~1 s of wall, charged to whatever
+    operator happens to run first) — a one-time cluster-startup cost, not
+    steady-state work, the same rationale as the JVM warmup count() callers
+    already do. ``spark.python.worker.reuse`` (default on) keeps the pool
+    alive afterwards. Guarded so repeated ``get_spark`` calls on a live
+    session cost nothing."""
+    if getattr(spark, "_ciff_workers_preforked", False):
+        return
+    n = spark.sparkContext.defaultParallelism
+    try:
+        spark.range(n).repartition(n).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warmup must never fail a session build
+    spark._ciff_workers_preforked = True

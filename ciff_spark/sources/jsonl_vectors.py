@@ -149,6 +149,15 @@ def build_index_from_vector_rows(
     store = IndexStore(out_root)
     store.drop()
 
+    # the raw vector rows feed THREE separate first actions (the id-rank
+    # probe, the quantizer range pass, and the tf materialization) — persist
+    # them once (MEMORY_AND_DISK, the same single-materialization trade the
+    # text build makes for its occurrence cache) instead of re-running the
+    # whole upstream pipeline per action
+    from pyspark import StorageLevel
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+
     # first-seen dense docid: rank external ids by min(pos), over the RAW
     # rows — a doc whose every score is dropped still occupies a docid with
     # doclength 0, exactly like the reference (docid_map insert happens
@@ -170,6 +179,7 @@ def build_index_from_vector_rows(
         # release on EVERY path — a failed ingest must not leak the rank's
         # internal cache for the session lifetime
         release_rank_cache(ranked_ids)
+        raw.unpersist()
 
 
 def _build_from_idmap(
@@ -227,12 +237,17 @@ def _write_tables(
     spark, store, tf, docs, source_desc, quantize, doclength_mode,
     n_shards, n_pgroups, block_size, qrange=(None, None),
 ):
-    store.write("docs", docs)
+    from concurrent.futures import ThreadPoolExecutor
 
+    # the tiny stats agg materializes the docs cache; the docs table write
+    # then runs on a driver thread so it back-fills executors while the
+    # encode job below runs (the same overlap the text build uses)
     stats = docs.agg(F.count("*").alias("n"), F.sum("doclength").alias("t")).first()
     num_docs, total_terms = int(stats["n"]), int(stats["t"] or 0)
     avgdl = total_terms / num_docs if num_docs else 0.0
     shard_size = max(1, -(-num_docs // n_shards))
+    pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = pool.submit(store.write, "docs", docs)
 
     def encode_partition(iterator):
         pdfs = [p for p in iterator if len(p)]
@@ -252,36 +267,47 @@ def _write_tables(
 
     from ciff_spark.build import POSTINGS_SCHEMA
 
-    enc = (
-        tf.withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
-        .repartition(n_pgroups, "pgroup")
-        .sortWithinPartitions("pgroup", "term", "docid")
-        .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
-        .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
-    )
-    enc.write.mode("overwrite").partitionBy("pgroup").parquet(store.path("postings"))
-
-    def pack_shard(key, pdf):
-        (shard,) = key
-        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-        dls = pdf["doclength"].to_numpy()[order].astype("<u4")
-        start = int(shard) * shard_size
-        return pd.DataFrame(
-            [{"shard": int(shard), "start_docid": start, "count": len(dls),
-              "dl_bin": dls.tobytes()}]
+    try:
+        enc = (
+            tf.withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
+            .repartition(n_pgroups, "pgroup")
+            .sortWithinPartitions("pgroup", "term", "docid")
+            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
+            .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
         )
+        enc.write.mode("overwrite").partitionBy("pgroup").parquet(store.path("postings"))
 
-    store.write(
-        "shard_sizes",
-        docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
-        .groupBy("shard")
-        .applyInPandas(pack_shard, schema="shard int, start_docid bigint, count int, dl_bin binary"),
-    )
-    ts = store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int").groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf"),
-        F.min("pgroup").alias("pgroup"),
-    ).sortWithinPartitions("term")
-    store.write("term_stats", ts)
+        def pack_shard(key, pdf):
+            (shard,) = key
+            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+            dls = pdf["doclength"].to_numpy()[order].astype("<u4")
+            start = int(shard) * shard_size
+            return pd.DataFrame(
+                [{"shard": int(shard), "start_docid": start, "count": len(dls),
+                  "dl_bin": dls.tobytes()}]
+            )
+
+        store.write(
+            "shard_sizes",
+            docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+            .groupBy("shard")
+            .applyInPandas(pack_shard, schema="shard int, start_docid bigint, count int, dl_bin binary"),
+        )
+    finally:
+        docs_future.result()  # surface a failed docs write; never race it
+        pool.shutdown()
+    from ciff_spark.build import TERM_STATS_DRIVER_MAX_ROWS, _table_num_rows, _write_term_stats_local
+
+    if _table_num_rows(store, "postings") <= TERM_STATS_DRIVER_MAX_ROWS:
+        # small-vocabulary fast path: one driver-side pyarrow scan+group_by
+        # replaces the scan+exchange+write Spark job (see build.py)
+        _write_term_stats_local(store)
+    else:
+        ts = store.read_or_empty(spark, "postings", POSTINGS_SCHEMA + ", pgroup int").groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+            F.min("pgroup").alias("pgroup"),
+        ).sortWithinPartitions("term")
+        store.write("term_stats", ts)
     # one row per term: the written files' footers already know the count —
     # no Spark job to re-scan a table this build just wrote
     import glob as _glob

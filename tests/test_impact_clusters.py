@@ -283,9 +283,27 @@ def test_cc_label_escalates_to_star(spark):
     n = 60  # diameter 59 > the 16-round label cap
     docs = spark.range(n).selectExpr("id AS docid")
     pairs = spark.range(n - 1).selectExpr("id AS d1", "id + 1 AS d2")
-    out = connected_components(docs, pairs).toPandas()
+    # driver_max_edges=0 forces the distributed path (the default would take
+    # the driver union-find shortcut and never exercise the escalation)
+    out = connected_components(docs, pairs, driver_max_edges=0).toPandas()
     assert set(out["cluster"].astype(int)) == {0}
     assert len(out) == n
+
+
+def test_cc_driver_shortcut_matches_distributed(spark):
+    """The r6 driver union-find shortcut must produce the identical labeling
+    to the distributed min-label propagation on the same graph."""
+    docs = spark.range(12).selectExpr("id AS docid")
+    pairs = spark.createDataFrame(
+        [(3, 2), (2, 1), (1, 0), (5, 6), (9, 8), (8, 7), (11, 10)],
+        "d1 long, d2 long",
+    )
+    fast = connected_components(docs, pairs).toPandas()
+    slow = connected_components(docs, pairs, driver_max_edges=0).toPandas()
+    f = dict(zip(fast["docid"].astype(int), fast["cluster"].astype(int)))
+    s = dict(zip(slow["docid"].astype(int), slow["cluster"].astype(int)))
+    assert f == s
+    assert f[3] == 0 and f[6] == 5 and f[4] == 4
 
 
 def test_impact_compaction_preserves_quantizer_range(spark, tmp_path):
