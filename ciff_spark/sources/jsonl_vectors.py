@@ -246,7 +246,7 @@ def _write_tables(
     num_docs, total_terms = int(stats["n"]), int(stats["t"] or 0)
     avgdl = total_terms / num_docs if num_docs else 0.0
     shard_size = max(1, -(-num_docs // n_shards))
-    pool = ThreadPoolExecutor(max_workers=1)
+    pool = ThreadPoolExecutor(max_workers=2)
     docs_future = pool.submit(store.write, "docs", docs)
 
     def encode_partition(iterator):
@@ -267,6 +267,25 @@ def _write_tables(
 
     from ciff_spark.build import POSTINGS_SCHEMA
 
+    def pack_shard(key, pdf):
+        (shard,) = key
+        order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+        dls = pdf["doclength"].to_numpy()[order].astype("<u4")
+        start = int(shard) * shard_size
+        return pd.DataFrame(
+            [{"shard": int(shard), "start_docid": start, "count": len(dls),
+              "dl_bin": dls.tobytes()}]
+        )
+
+    # shard_sizes reads the docs cache only — run it on the pool too, so it
+    # back-fills executors alongside the encode job below
+    ss_future = pool.submit(
+        store.write,
+        "shard_sizes",
+        docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(pack_shard, schema="shard int, start_docid bigint, count int, dl_bin binary"),
+    )
     try:
         enc = (
             tf.withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
@@ -276,25 +295,10 @@ def _write_tables(
             .withColumn("pgroup", F.pmod(F.hash("term"), F.lit(n_pgroups)))
         )
         enc.write.mode("overwrite").partitionBy("pgroup").parquet(store.path("postings"))
-
-        def pack_shard(key, pdf):
-            (shard,) = key
-            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-            dls = pdf["doclength"].to_numpy()[order].astype("<u4")
-            start = int(shard) * shard_size
-            return pd.DataFrame(
-                [{"shard": int(shard), "start_docid": start, "count": len(dls),
-                  "dl_bin": dls.tobytes()}]
-            )
-
-        store.write(
-            "shard_sizes",
-            docs.withColumn("shard", F.floor(F.col("docid") / F.lit(shard_size)).cast("int"))
-            .groupBy("shard")
-            .applyInPandas(pack_shard, schema="shard int, start_docid bigint, count int, dl_bin binary"),
-        )
     finally:
-        docs_future.result()  # surface a failed docs write; never race it
+        # surface a failed concurrent write; never race one
+        docs_future.result()
+        ss_future.result()
         pool.shutdown()
     from ciff_spark.build import TERM_STATS_DRIVER_MAX_ROWS, _table_num_rows, _write_term_stats_local
 
