@@ -238,8 +238,18 @@ def build_index(
         # partition level (without it the hottest term's pgroup is the stage
         # straggler and the N→4N scaling dies on it)
         occ.repartition(n_encode_parts, pgroup_expr, shard_expr)
-    ).persist()
-    has_tf_col = "tf" in tf.columns
+    )
+    # the encode batches are the occurrence stream's ONLY consumers since
+    # doclengths derive narrowly from size(tokens) (below) — cache it only
+    # when >1 checkpoint batch will re-filter it; the (default) single-batch
+    # build streams it through the encode without ever materializing the
+    # full occurrence relation (the build's largest memory footprint at
+    # corpus scale)
+    n_batches = max(1, min(cfg.pgroup_batches, len(todo))) if todo else 0
+    tf_persisted = False
+    if n_batches > 1:
+        tf = tf.persist()
+        tf_persisted = True
 
     # ONE try/finally from the first cache on: a failure anywhere below
     # must release every cached frame (the rank-internal cache included)
@@ -261,15 +271,14 @@ def build_index(
         need_docs = not store.exists("docs")
         need_ss = not store.exists("shard_sizes")
         if need_docs or need_ss:
-            # token-less docs (empty/punct-only text) still hold a docid with
-            # doclength 0 — the id map left-joins the per-doc tf sums (both
-            # sides skinny; the id rescan prunes the text column)
-            idmap = ranked.select("docid", *id_keep)
-            _dl_agg = F.sum("tf") if has_tf_col else F.count("*")
-            sums = tf.groupBy("docid").agg(_dl_agg.cast("int").alias("_dl"))
-            dlen = idmap.join(sums, "docid", "left").select(
+            # doclength ≡ token count ≡ size(tokens): a NARROW projection of
+            # the ranked rows — no aggregation over (and no join back to) the
+            # full occurrence stream. Token-less docs (empty/punct-only text)
+            # coalesce to doclength 0, exactly like the left-join-null the
+            # former tf-sum derivation produced.
+            dlen = ranked.select(
                 "docid", *id_keep,
-                F.coalesce(F.col("_dl"), F.lit(0)).alias("doclength"),
+                F.coalesce(F.size(_tokens_col(cfg)), F.lit(0)).alias("doclength"),
             ).persist()
 
         if need_ss:
@@ -408,7 +417,6 @@ def build_index(
                     span_adaptive=span_adaptive,
                 )
 
-            n_batches = max(1, min(cfg.pgroup_batches, len(todo)))
             batches = np.array_split(np.array(todo), n_batches)
             for bi, batch in enumerate(batches):
                 if cfg.fail_after_batches is not None and bi >= cfg.fail_after_batches:
@@ -473,7 +481,8 @@ def build_index(
             pool.shutdown()
         if dlen is not None:
             dlen.unpersist()
-        tf.unpersist()
+        if tf_persisted:
+            tf.unpersist()
         release_rank_cache(ranked)
     # ---- stage: term_stats (global df/cf; blocks pruned at scan) ------------
     if not store.exists("term_stats"):

@@ -496,6 +496,78 @@ def _sqdist_to(c: list[float]) -> Column:
     )
 
 
+def _assign_batch_np(mat, subcents) -> "np.ndarray":
+    """Vectorized argmin_j round6(‖v−c_j‖²) with ties to the smaller j,
+    bit-identical to the ``_assign_cluster``/``_assign_sub`` expressions:
+    float32→float64 casts are exact, the accumulation loops dimensions in
+    order (the same IEEE op sequence as the zip_with/aggregate left fold,
+    applied per (vector, centroid) lane), rounding is the exact F.round
+    emulation, and np.argmin returns the first (smallest-j) minimum."""
+    import numpy as np
+
+    C = np.asarray(subcents, np.float64)
+    acc = np.zeros((mat.shape[0], C.shape[0]), np.float64)
+    for i in range(C.shape[1]):
+        d = mat[:, i][:, None] - C[None, :, i]
+        acc += d * d
+    r6 = np.frompyfunc(_round6_spark, 1, 1)
+    return np.argmin(r6(acc).astype(np.float64), axis=1).astype(np.int32)
+
+
+def _assign_cluster_train(cents: list[list[float]]) -> Column:
+    """TRAINING-loop variant of ``_assign_cluster``: one Arrow-vectorized
+    pandas UDF instead of a k×dim literal expression tree. Numerically
+    bit-identical (see ``_assign_batch_np``); exists because each Lloyd's
+    iteration changes the centroid literals, so the expression form pays a
+    fresh ~1 s whole-stage-codegen compile per iteration while the UDF plan
+    is literal-free and its NumPy body is the guide's vectorized-native
+    sweet spot. The DECLARED assignment outputs (ann_kmeans_clusters, the
+    materialized layouts) keep the pure-codegen expressions — that plan
+    shape is guard-tested and compiles once."""
+    import pandas as pd
+
+    c = [[float(x) for x in v] for v in cents]
+
+    def assign(embs):
+        import numpy as np
+
+        if not len(embs):
+            return pd.Series([], dtype="int32")
+        mat = np.stack([np.asarray(v, np.float64) for v in embs.to_numpy()])
+        return pd.Series(_assign_batch_np(mat, c))
+
+    # real annotation objects: `from __future__ import annotations` turns
+    # inline hints into strings pyspark's signature resolver rejects
+    assign.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(assign, "int")(F.col("embedding"))
+
+
+def _assign_subs_train(cents: list[list[list[float]]]) -> Column:
+    """TRAINING-loop variant of the per-subspace ``_assign_sub`` columns:
+    one pandas UDF producing the array of all m subspace codes (element_at
+    recovers c_s). Same exactness argument as ``_assign_cluster_train``."""
+    import pandas as pd
+
+    c = [[[float(x) for x in cw] for cw in sub] for sub in cents]
+    m = len(c)
+    dsub = len(c[0][0])
+
+    def assign(embs):
+        import numpy as np
+
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, np.float64) for v in embs.to_numpy()])
+        codes = [
+            _assign_batch_np(mat[:, s * dsub : (s + 1) * dsub], c[s])
+            for s in range(m)
+        ]
+        return pd.Series(list(np.stack(codes, axis=1)))
+
+    assign.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(assign, "array<int>")(F.col("embedding"))
+
+
 def _assign_cluster(cents: list[list[float]]) -> Column:
     """argmin over centroids of round(‖v−c‖², 6), ties to the smaller
     cluster id — array_min over struct<d, j> is the lexicographic argmin."""
@@ -543,7 +615,9 @@ def kmeans_centroids(
         for _, e, _ in _embeddings_local(sf_dir, max_id=k)
     ]
     for _ in range(iters):
-        assigned = emb.select("vec_id", "embedding", _assign_cluster(cents).alias("cl"))
+        assigned = emb.select(
+            "vec_id", "embedding", _assign_cluster_train(cents).alias("cl")
+        )
         means = (
             assigned.select("cl", F.posexplode("embedding").alias("i", "vx"))
             .groupBy("cl", "i")
@@ -829,18 +903,14 @@ def _lloyd_subspaces(
     ]
     for _ in range(iters):
         assigned = emb.select(
-            "embedding",
-            *[_assign_sub(s, cents[s]).alias(f"c{s}") for s in range(m)],
+            "embedding", _assign_subs_train(cents).alias("cs")
         )
         scol = (F.col("i0") / F.lit(dsub)).cast("int")
-        clcol = F.element_at(F.array(*[F.col(f"c{s}") for s in range(m)]), scol + 1)
         means = (
-            assigned.select(
-                F.posexplode("embedding").alias("i0", "vx"),
-                *[F.col(f"c{s}") for s in range(m)],
-            )
+            assigned.select(F.posexplode("embedding").alias("i0", "vx"), "cs")
             .select(
-                scol.alias("s"), clcol.alias("cl"),
+                scol.alias("s"),
+                F.element_at(F.col("cs"), scol + 1).alias("cl"),
                 F.pmod(F.col("i0"), F.lit(dsub)).alias("i"),
                 F.col("vx").cast("double").alias("vx"),
             )

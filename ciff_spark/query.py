@@ -368,15 +368,11 @@ class IndexReader:
         TWO Python workers — the kernel ran ~2-way parallel on a 32-core
         host). A user-specified repartition is exempt from AQE coalescing
         and the following groupBy reuses its partitioning, so the kernel
-        stage keeps one partition per shard (capped at the configured
-        shuffle parallelism at cluster scale)."""
-        n = max(
-            1,
-            min(
-                -(-int(self.meta["num_docs"]) // int(self.meta["shard_size"])),
-                int(self.spark.conf.get("spark.sql.shuffle.partitions")),
-            ),
-        )
+        stage keeps the configured shuffle parallelism. The partition count
+        is NOT capped at the shard count: hashing s keys into only s
+        buckets loses ~1/e of them to collisions (an 8-shard index would
+        run ~5-way), while empty partitions cost nothing."""
+        n = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
         return pq.repartition(n, "shard")
 
     def _global_topk(self, scored: DataFrame, k: int) -> DataFrame:
@@ -398,12 +394,21 @@ class IndexReader:
 
         def score_rows(postings_pdf: pd.DataFrame, dl: np.ndarray, start: int):
             qids, docids, contribs = [], [], []
-            # per-term decode cache: after the query join the same (term,
-            # shard) blocks appear once PER QID — a batch's shared (hot)
-            # terms must decode once per task, not once per query
-            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            # per-row decode cache: after the query join the same postings
+            # row appears once PER QID — a batch's shared (hot) terms must
+            # decode once per task, not once per query. Keyed by (term,
+            # first-block max_docid), NOT term alone: a compacted index
+            # holds base + appended rows for the SAME (term, shard), with
+            # disjoint docid ranges (so the first block's max_docid is the
+            # discriminator) — a term-keyed cache would silently serve the
+            # base row's postings for the appended row.
+            decoded: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
             for row in postings_pdf.itertuples(index=False):
-                got = decoded.get(row.term)
+                key = (
+                    row.term,
+                    int(row.blocks[0]["max_docid"]) if len(row.blocks) else -1,
+                )
+                got = decoded.get(key)
                 if got is None:
                     d_parts, t_parts, prev = [], [], -1
                     for blk in row.blocks:
@@ -411,7 +416,7 @@ class IndexReader:
                         d_parts.append(d_)
                         t_parts.append(t_)
                         prev = int(blk["max_docid"])
-                    got = decoded[row.term] = (
+                    got = decoded[key] = (
                         np.concatenate(d_parts), np.concatenate(t_parts)
                     )
                 d, tf = got
@@ -495,25 +500,33 @@ class IndexReader:
 
         def wand_rows(postings_pdf: pd.DataFrame, dl: np.ndarray, start: int):
             frames = []
-            # per-term caches shared ACROSS the qid loop: a batch's shared
+            # per-row caches shared ACROSS the qid loop: a batch's shared
             # (hot) terms otherwise re-walk block geometry and re-decode
             # their blocks once per query — the kernel exposes geom/decode
             # cache hooks exactly for this (the serving path has used them
-            # since r4; the distributed reader paid 20× per task without)
-            blocks_by_term: dict[str, list] = {}
-            gc_by_term: dict[str, dict] = {}
-            dc_by_term: dict[str, dict] = {}
+            # since r4; the distributed reader paid 20× per task without).
+            # Keyed by (term, first-block max_docid), NOT term alone: a
+            # compacted index holds base + appended rows for the SAME
+            # (term, shard) with disjoint docid ranges — a term-keyed cache
+            # would serve one row's blocks for the other.
+            blocks_by_row: dict[tuple, list] = {}
+            gc_by_row: dict[tuple, dict] = {}
+            dc_by_row: dict[tuple, dict] = {}
             for qid, qg in postings_pdf.groupby("qid"):
                 lists, gcs, dcs = [], [], []
                 for r in qg.itertuples(index=False):
-                    b = blocks_by_term.get(r.term)
+                    key = (
+                        r.term,
+                        int(r.blocks[0]["max_docid"]) if len(r.blocks) else -1,
+                    )
+                    b = blocks_by_row.get(key)
                     if b is None:
-                        b = blocks_by_term[r.term] = list(r.blocks)
-                        gc_by_term[r.term] = {}
-                        dc_by_term[r.term] = {}
+                        b = blocks_by_row[key] = list(r.blocks)
+                        gc_by_row[key] = {}
+                        dc_by_row[key] = {}
                     lists.append((float(r.idf), b))
-                    gcs.append(gc_by_term[r.term])
-                    dcs.append(dc_by_term[r.term])
+                    gcs.append(gc_by_row[key])
+                    dcs.append(dc_by_row[key])
                 seed = theta0.get(int(qid)) if theta0 else None
                 d, s = wand_topk(
                     lists, dl, start, avg, kk, rd, seed,
