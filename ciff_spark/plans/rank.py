@@ -44,6 +44,51 @@ def release_rank_cache(df: DataFrame) -> None:
         src.unpersist()
 
 
+#: row count at or below which the dense rank computes driver-side: ONE
+#: probing job collects the (skinny) ordering keys, pandas sorts them, and a
+#: broadcast join attaches the rank — replacing the range-sampling job, the
+#: per-partition counts job, and the persisted sorted copy. Only primitive
+#: (numeric/string) key columns qualify: their pandas sort order provably
+#: matches Spark's (UTF8 code-point order ≡ Python str comparison).
+RANK_DRIVER_MAX_ROWS = 1_000_000
+
+#: float types are excluded deliberately: Spark orders NaN greatest while
+#: pandas sort_values handles NaN differently — integer/string/temporal
+#: keys have one unambiguous order in both engines.
+_DRIVER_SORTABLE = ("string", "int", "bigint", "smallint", "tinyint", "long", "date", "timestamp", "timestamp_ntz")
+
+
+def _rank_driver_path(
+    df: DataFrame, order_cols: list[str], docid_col: str, with_count: bool,
+    max_rows: int,
+):
+    """Driver-side dense rank for small unique-keyed inputs; returns None
+    when the input is too large / keys unsortable / keys not unique (callers
+    fall through to the distributed two-phase rank)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if not all(types[c] in _DRIVER_SORTABLE for c in order_cols):
+        return None
+    probe = df.select(*order_cols).limit(max_rows + 1).toPandas()
+    if len(probe) > max_rows:
+        return None
+    if len(probe) == 0:
+        out = df.withColumn(docid_col, F.lit(0).cast("long"))
+        return (out, 0) if with_count else out
+    kdf = probe.sort_values(order_cols, kind="stable").reset_index(drop=True)
+    if kdf.duplicated(order_cols).any():
+        return None  # duplicate keys: rank would corrupt docids — fall back
+    kdf[docid_col] = np.arange(len(kdf), dtype=np.int64)
+    schema = ", ".join(f"{c} {types[c]}" for c in order_cols) + f", {docid_col} long"
+    odf = spark.createDataFrame(kdf, schema)
+    # keep the distributed path's column order (df columns, then docid) —
+    # a USING join would move the keys to the front
+    out = df.join(F.broadcast(odf), order_cols).select(*df.columns, docid_col)
+    return (out, len(kdf)) if with_count else out
+
+
 def add_dense_docid(
     df: DataFrame,
     order_cols: list[str],
@@ -51,6 +96,7 @@ def add_dense_docid(
     docid_col: str = "docid",
     assume_sorted: bool = False,
     with_count: bool = False,
+    driver_max_rows: int = RANK_DRIVER_MAX_ROWS,
 ):
     """Return ``df`` plus a dense 0..N-1 ``docid`` = rank of ``order_cols``.
 
@@ -62,10 +108,18 @@ def add_dense_docid(
     ``with_count=True`` returns ``(df, total_rows)`` — the total falls out of
     the per-partition counts job for free.
 
-    The result is persisted (MEMORY_AND_DISK); callers should ``unpersist()``
-    it when downstream stages have materialized.
+    Inputs whose ordering keys are primitive, unique, and at most
+    ``driver_max_rows`` take a driver-side rank (one probing job + a
+    broadcast join — see ``RANK_DRIVER_MAX_ROWS``); pass 0 to force the
+    distributed path. The distributed result is persisted (MEMORY_AND_DISK);
+    callers should ``release_rank_cache()`` it when downstream stages have
+    materialized (a no-op for the driver path).
     """
     spark = df.sparkSession
+    if not assume_sorted and driver_max_rows:
+        got = _rank_driver_path(df, order_cols, docid_col, with_count, driver_max_rows)
+        if got is not None:
+            return got
     n = num_partitions or spark.sparkContext.defaultParallelism
     if assume_sorted:
         sdf = df

@@ -63,11 +63,34 @@ def test_dense_docid_partition_invariance(spark):
 
 
 def test_rank_no_single_partition_bottleneck(spark):
-    """The ranked plan must not contain a global single-partition sort/window."""
+    """Neither rank path may contain a global single-partition sort/window."""
     df = transcripts_df(spark, 30, seed=2, partitions=4)
-    ranked = add_dense_docid(df, ["conv_id", "turn_idx"], num_partitions=5)
+    # distributed path (forced): keeps the requested range partitioning
+    ranked = add_dense_docid(
+        df, ["conv_id", "turn_idx"], num_partitions=5, driver_max_rows=0
+    )
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # no row_number window
     # the id-assignment stage keeps the range partitioning (5 partitions)
-    npart = ranked.rdd.getNumPartitions()
-    assert npart == 5
+    assert ranked.rdd.getNumPartitions() == 5
+    # driver path (small unique keys): a broadcast join that PRESERVES the
+    # input partitioning — no single-partition collapse, no window
+    ranked_d = add_dense_docid(df, ["conv_id", "turn_idx"], num_partitions=5)
+    plan_d = ranked_d._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan_d
+    assert ranked_d.rdd.getNumPartitions() >= 4
+
+
+def test_rank_driver_path_matches_distributed(spark):
+    """The r6 driver-side rank shortcut must assign the identical docids as
+    the distributed two-phase rank."""
+    df = transcripts_df(spark, 25, seed=3, partitions=3)
+    fast = add_dense_docid(df, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "docid"
+    )
+    slow = add_dense_docid(df, ["conv_id", "turn_idx"], driver_max_rows=0).select(
+        "conv_id", "turn_idx", "docid"
+    )
+    pa = fast.orderBy("docid").toPandas()
+    pb = slow.orderBy("docid").toPandas()
+    pd.testing.assert_frame_equal(pa, pb)
