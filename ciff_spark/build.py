@@ -7,23 +7,28 @@ scalability wall) with a declarative Spark pipeline:
   transcripts ─ docid rank: two-level grouped (offset(conv)+turn_idx — only
     the skinny conv-size table shuffles; the text rows take a broadcast join)
     with add_dense_docid as the generic fallback
-    → ONE pass over text and ONE shuffle: tokenize → explode → repartition
-      raw (docid, term) occurrences on (pgroup = hash(term) % n_pgroups,
-      shard = docid // shard_size) → CACHE that skinny relation (never text,
-      never token arrays). The composite partition key is the structural
-      skew handling: every (term, shard) encode group stays whole in one
-      partition, but a Zipf-hot term's stream spreads across its docid
-      shards — never one reducer — and the per-term merge stays
-      concatenation in shard order.
-    everything else derives from the occurrence cache:
-    ├─ docs table: id map (text-pruned rescan) ⟕ per-doc count = doclength
-    ├─ shard_sizes: u32 doclength runs per docid shard
-    └─ postings: fused per-partition kernel — dictionary-encode terms,
-         lex-rank the (small) partition vocabulary, integer-lexsort
-         (rank, docid), run-length-combine equal (term, docid) runs (= the
-         tf aggregation), block-encode (codec.encode_arrow_batch) — then
-         write, partitionBy(pgroup)
+    ├─ dlen: NARROW projection docid → (ids, doclength = size(tokens)) —
+    │    cached (tiny); docs table and shard_sizes (u32 doclength runs per
+    │    docid shard) derive from it with no aggregation over the
+    │    occurrence stream; total_terms = Σ doclength sums driver-side
+    │    from the committed shard_sizes bins
+    └─ postings: ONE pass over text and ONE occurrence shuffle, STREAMED
+         (persisted only for multi-batch resume builds): tokenize → explode
+         → repartition raw (docid, term) occurrences on
+         (pgroup = hash(term) % n_pgroups, shard = docid // shard_size) →
+         fused per-partition kernel — dictionary-encode terms, lex-rank the
+         (small) partition vocabulary, integer-lexsort (rank, docid),
+         run-length-combine equal (term, docid) runs (= the tf
+         aggregation), block-encode (codec.encode_arrow_batch) — then one
+         hash exchange of the ENCODED rows on pgroup (write clustering:
+         one file per pgroup) → write, partitionBy(pgroup). The composite
+         occurrence partition key is the structural skew handling: every
+         (term, shard) encode group stays whole in one partition, but a
+         Zipf-hot term's stream spreads across its docid shards — never one
+         reducer — and the per-term merge stays concatenation in shard
+         order.
   postings(df, cf columns only — blocks pruned at scan) → term_stats
+  (driver-side pyarrow under a row gate, distributed above it)
   → meta (≙ CIFF Header; written driver-side, like lineage/resume manifests)
 
 Checkpoint/resume: postings are written in pgroup *batches*; each completed
@@ -258,8 +263,8 @@ def build_index(
     docs_future = None
     dlen = None
     try:
-        # ---- docs + shard_sizes: skinny derivations of the tf cache ------------
-        # dlen (docid → doclength + ids) computes ONCE into a small cache;
+        # ---- docs + shard_sizes: skinny, occurrence-stream-free ----------------
+        # dlen (docid → doclength + ids) is a narrow projection cached once;
         # shard_sizes writes first (the encode needs it for the doclength
         # broadcast), then the docs write runs on a driver thread so it overlaps
         # the encode job on the shared executor pool
@@ -309,10 +314,8 @@ def build_index(
 
         if not have_stats:
             # Σ doclength ≡ total_terms, and every doclength now sits in the
-            # committed shard_sizes bins — sum driver-side, ZERO extra jobs.
-            # (The shard_sizes write above was the ONE materializing pass
-            # that paid the tokenize + the single shuffle; the former
-            # standalone dlen.agg() was a whole extra pass over the cache.)
+            # committed shard_sizes bins — sum driver-side, ZERO extra jobs
+            # (the former standalone dlen.agg() was a whole extra pass).
             t0 = time.time()
             total_terms = int(_dl_array(store, num_docs).sum()) if num_docs else 0
             avgdl = total_terms / num_docs if num_docs else 0.0
@@ -330,8 +333,9 @@ def build_index(
             docs_future = pool.submit(_write_docs)
 
         # ---- stage: postings (pgroup-batched, resumable) ------------------------
-        # repartition the skinny cached tf rows by pgroup + in-partition sort →
-        # one Arrow pass per partition block-encodes every (term, shard) group.
+        # the occurrence stream flows straight into the encode: one Arrow
+        # pass per (pgroup, shard)-hashed partition block-encodes every
+        # (term, shard) group (cached only for multi-batch resume builds).
         if todo:
             _clean_partial_pgroups(store, todo)
             block_size = cfg.block_size

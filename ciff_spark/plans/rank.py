@@ -77,6 +77,11 @@ def _rank_driver_path(
     if len(probe) == 0:
         out = df.withColumn(docid_col, F.lit(0).cast("long"))
         return (out, 0) if with_count else out
+    if probe[order_cols].isnull().any().any():
+        # null keys: the broadcast join below is an INNER join and would
+        # silently drop these rows (the distributed path ranks them) — fall
+        # back rather than lose data
+        return None
     kdf = probe.sort_values(order_cols, kind="stable").reset_index(drop=True)
     if kdf.duplicated(order_cols).any():
         return None  # duplicate keys: rank would corrupt docids — fall back

@@ -296,10 +296,16 @@ def _write_tables(
         )
         enc.write.mode("overwrite").partitionBy("pgroup").parquet(store.path("postings"))
     finally:
-        # surface a failed concurrent write; never race one
-        docs_future.result()
-        ss_future.result()
-        pool.shutdown()
+        # surface a failed concurrent write; never race one — and never let
+        # the first future's failure skip draining the second or shutting
+        # the pool down
+        try:
+            docs_future.result()
+        finally:
+            try:
+                ss_future.result()
+            finally:
+                pool.shutdown()
     from ciff_spark.build import TERM_STATS_DRIVER_MAX_ROWS, _table_num_rows, _write_term_stats_local
 
     if _table_num_rows(store, "postings") <= TERM_STATS_DRIVER_MAX_ROWS:
