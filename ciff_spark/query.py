@@ -304,11 +304,16 @@ class IndexReader:
         # pgroup-partition-pruned + term-pruned scan: the pgroup IN filter
         # prunes whole pgroup=* partition dirs (PartitionFilters in the
         # plan), so only the queried terms' dirs are even opened; the term
-        # IN predicate then row-group-prunes within them (PushedFilters)
+        # IN predicate then row-group-prunes within them (PushedFilters).
+        # Empty pgroup set with surviving terms would mean NULL pgroup
+        # values in term_stats (no index this codebase writes, but a
+        # mis-applied isin([]) would silently return nothing) — skip the
+        # partition filter in that case rather than risk empty results.
+        post = self.store.read(self.spark, "postings")
+        if pgroups:
+            post = post.where(F.col("pgroup").isin(pgroups))
         post = (
-            self.store.read(self.spark, "postings")
-            .where(F.col("pgroup").isin(pgroups))
-            .where(F.col("term").isin(sorted(qpdf["term"].unique().tolist())))
+            post.where(F.col("term").isin(sorted(qpdf["term"].unique().tolist())))
             .select("term", "shard", "blocks")
         )
         pq = post.join(F.broadcast(qdf), "term")
